@@ -1,0 +1,80 @@
+"""Cartesian 2D grid (reference src/Grids/CartesianGrid.jl).
+
+The projection kernel (CartesianGrid.jl:115-136) converting m/s into
+grid-index/s is materialized as a per-node [2,2] array (constant over the
+grid, broadcast at build time so the RHS needs no grid-type dispatch).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Boundary, Grid2D, GridStats
+from .mask import make_boundaries
+
+
+def projection_kernel_cartesian(dx: float, dy: float, angle_deg: float) -> np.ndarray:
+    """Reference CartesianGrid.jl:115-131: with grid rotation ``angle``,
+    M = [[cos/dx, sin/dy], [sin/dx, cos/dy]]."""
+    if angle_deg == 0.0:
+        return np.array([[1.0 / dx, 0.0], [0.0, 1.0 / dy]])
+    c = math.cos(angle_deg * math.pi / 180.0)
+    s = math.sin(angle_deg * math.pi / 180.0)
+    return np.array([[c / dx, s / dy], [s / dx, c / dy]])
+
+
+def cartesian_grid_2d(xmin: float, xmax: float, nx: int,
+                      ymin: float, ymax: float, ny: int, *,
+                      mask: Optional[np.ndarray] = None,
+                      total_mask: Optional[np.ndarray] = None,
+                      angle: float = 0.0,
+                      periodic_boundary: Tuple[bool, bool] = (False, False),
+                      dtype=jnp.float32) -> Grid2D:
+    """Build a TwoDCartesianGridMesh analog (reference CartesianGrid.jl:104-112).
+
+    ``nx`` points span [xmin, xmax] inclusive; dx = (xmax-xmin)/(nx-1).
+    """
+    dx = (xmax - xmin) / (nx - 1)
+    dy = (ymax - ymin) / (ny - 1)
+    bx = Boundary.PERIODIC if periodic_boundary[0] else Boundary.NONPERIODIC
+    by = Boundary.PERIODIC if periodic_boundary[1] else Boundary.NONPERIODIC
+
+    x = np.linspace(xmin, xmax, nx)
+    y = np.linspace(ymin, ymax, ny)
+    XX, YY = np.meshgrid(x, y, indexing="ij")
+
+    if total_mask is None:
+        if mask is None:
+            mask = np.ones((nx, ny), dtype=bool)
+        total_mask = make_boundaries(mask, bx, by)
+    total_mask = np.asarray(total_mask, dtype=np.int32)
+
+    M = projection_kernel_cartesian(dx, dy, angle)
+    proj = np.broadcast_to(M, (nx, ny, 2, 2))
+
+    stats = GridStats(nx=nx, ny=ny, bx=bx, by=by, xmin=xmin, xmax=xmax,
+                      ymin=ymin, ymax=ymax, dx=dx, dy=dy, angle=angle,
+                      kind="cartesian")
+    return Grid2D(
+        x=jnp.asarray(XX, dtype), y=jnp.asarray(YY, dtype),
+        dx_m=jnp.full((nx, ny), dx, dtype), dy_m=jnp.full((nx, ny), dy, dtype),
+        area=jnp.full((nx, ny), dx * dy, dtype),
+        angle=jnp.full((nx, ny), angle * math.pi / 180.0, dtype),
+        mask=jnp.asarray(total_mask),
+        proj=jnp.asarray(proj, dtype),
+        pc=jnp.zeros((nx, ny), dtype),
+        stats=stats)
+
+
+def cartesian_box(dimx: float, nx: int, dimy: float, ny: int, *,
+                  angle: float = 0.0,
+                  periodic_boundary: Tuple[bool, bool] = (False, False),
+                  dtype=jnp.float32) -> Grid2D:
+    """Shorthand box constructor (reference CartesianGrid.jl:111-112):
+    ``TwoDCartesianGridMesh(100e3, 51, 100e3, 51)`` style."""
+    return cartesian_grid_2d(0.0, dimx, nx, 0.0, dimy, ny, angle=angle,
+                             periodic_boundary=periodic_boundary, dtype=dtype)
