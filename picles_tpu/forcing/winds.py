@@ -1,0 +1,159 @@
+"""Wind forcing: jit-able samplers u(x, y, t), v(x, y, t).
+
+The reference passes arbitrary Julia closures / Interpolations.jl objects as
+winds (NamedTuple (u, v); e.g. src/Utils/WindEmulator.jl).  Here a wind is any
+Python callable operating on jnp arrays; the helpers below cover the cases
+the reference tests exercise: constants, analytic closures, half-domain
+switches, time-modulated fields, and gridded data with multilinear
+interpolation (the WindEmulator analog, built on map_coordinates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+
+class Winds2D(NamedTuple):
+    """(u, v) sampler pair, mirroring the reference ``winds = (u=..., v=...)``."""
+
+    u: Callable
+    v: Callable
+
+    def __call__(self, x, y, t):
+        return self.u(x, y, t), self.v(x, y, t)
+
+
+class Winds1D(NamedTuple):
+    u: Callable
+
+    def __call__(self, x, t):
+        return self.u(x, t)
+
+
+def constant_winds(U10: float, V10: float) -> Winds2D:
+    """Uniform steady winds (the README example_00 forcing)."""
+    return Winds2D(u=lambda x, y, t: jnp.full_like(jnp.asarray(x, jnp.float32), U10),
+                   v=lambda x, y, t: jnp.full_like(jnp.asarray(x, jnp.float32), V10))
+
+
+def constant_winds_1d(U10: float) -> Winds1D:
+    return Winds1D(u=lambda x, t: jnp.full_like(jnp.asarray(x, jnp.float32), U10))
+
+
+def half_domain_winds(U10: float, V10: float, x_split: float,
+                      background: float = 0.0) -> Winds2D:
+    """IfElse half-domain winds used in T04 variants
+    (x < x_split -> (U10, V10), else background)."""
+    def u(x, y, t):
+        return jnp.where(jnp.asarray(x) < x_split, U10, background)
+
+    def v(x, y, t):
+        return jnp.where(jnp.asarray(x) < x_split, V10, background)
+
+    return Winds2D(u=u, v=v)
+
+
+def time_cosine_winds(U10: float, V10: float, period: float,
+                      t_off: Optional[float] = None) -> Winds2D:
+    """Growing/decaying winds (T04_2D_growing_decaying_winds analog):
+    amplitude modulated by cos(2 pi t / period), optionally zeroed after
+    ``t_off``."""
+    def amp(t):
+        a = jnp.cos(2.0 * jnp.pi * jnp.asarray(t, jnp.float32) / period)
+        if t_off is not None:
+            a = jnp.where(jnp.asarray(t) > t_off, 0.0, a)
+        return a
+
+    return Winds2D(u=lambda x, y, t: U10 * amp(t) + 0.0 * jnp.asarray(x),
+                   v=lambda x, y, t: V10 * amp(t) + 0.0 * jnp.asarray(x))
+
+
+# ---------------------------------------------------------------------------
+# gridded winds (WindEmulator analog)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class GriddedWinds2D:
+    """Tri-linear interpolation of gridded (t, x, y) wind data.
+
+    The TPU-native replacement for Interpolations.jl linear_interpolation
+    with periodic extrapolation (reference WindEmulator.jl:18-43): index
+    coordinates are computed from uniform axis metadata and fed to
+    ``jax.scipy.ndimage.map_coordinates`` (order=1).
+
+    u_data, v_data: [nt, nx, ny]
+    """
+
+    u_data: jnp.ndarray
+    v_data: jnp.ndarray
+    x0: float
+    dx: float
+    y0: float
+    dy: float
+    t0: float
+    dt: float
+    mode: str = "nearest"  # edge handling: 'nearest' (clamp) or 'wrap'
+
+    def _coords(self, x, y, t):
+        xi = (jnp.asarray(x) - self.x0) / self.dx
+        yi = (jnp.asarray(y) - self.y0) / self.dy
+        ti = (jnp.asarray(t) - self.t0) / self.dt
+        ti, xi, yi = jnp.broadcast_arrays(ti, xi, yi)
+        return [ti, xi, yi]
+
+    def u(self, x, y, t):
+        return map_coordinates(self.u_data, self._coords(x, y, t), order=1,
+                               mode=self.mode)
+
+    def v(self, x, y, t):
+        return map_coordinates(self.v_data, self._coords(x, y, t), order=1,
+                               mode=self.mode)
+
+    def as_winds(self) -> Winds2D:
+        return Winds2D(u=self.u, v=self.v)
+
+
+@dataclasses.dataclass(frozen=True)
+class GriddedWinds1D:
+    """Bi-linear interpolation of gridded (x, t) wind data — the direct
+    WindEmulator.IdealizedWindGrid + wind_interpolator analog."""
+
+    u_data: jnp.ndarray  # [nx, nt]
+    x0: float
+    dx: float
+    t0: float
+    dt: float
+    mode: str = "wrap"  # reference uses periodic extrapolation
+
+    def u(self, x, t):
+        xi = (jnp.asarray(x) - self.x0) / self.dx
+        ti = (jnp.asarray(t) - self.t0) / self.dt
+        xi, ti = jnp.broadcast_arrays(xi, ti)
+        return map_coordinates(self.u_data, [xi, ti], order=1, mode=self.mode)
+
+    def as_winds(self) -> Winds1D:
+        return Winds1D(u=self.u)
+
+
+def idealized_wind_grid_1d(u_func, Lx: float, T: float, dx: float,
+                           dt: float) -> GriddedWinds1D:
+    """Grid an analytic wind (reference WindEmulator.IdealizedWindGrid)."""
+    import numpy as np
+
+    xi = np.arange(0, Lx + dx / 2, dx)
+    ti = np.arange(0, T + dt / 2, dt)
+    data = np.asarray([[float(u_func(x, t)) for t in ti] for x in xi],
+                      dtype=np.float32)
+    return GriddedWinds1D(u_data=jnp.asarray(data), x0=0.0, dx=dx, t0=0.0,
+                          dt=dt)
+
+
+def slopped_blob(x, t, U10, V, T, x_scale, t_scale, x0=300e3):
+    """Moving Gaussian wind blob (reference WindEmulator.jl:50-52)."""
+    x = jnp.asarray(x)
+    return 0.5 + U10 * (jnp.exp(-(((x - (x0 + t * V)) / x_scale) ** 2))
+                        * jnp.exp(-(((t - T / 2) / t_scale) ** 2)))

@@ -1,0 +1,316 @@
+"""WaveGrowth2D — the flagship model, as one pure jitted step function.
+
+TPU-native re-design of the reference model + stepping stack
+(src/Models/WaveGrowthModels2D.jl, src/Operators/mapping_2D.jl,
+src/Operators/TimeSteppers.jl, src/Simulations/run.jl:72-115).  One model
+time step ``DT`` is:
+
+  1. zero the Eulerian state            (run.jl:74-79)
+  2. ADVANCE: batched adaptive Tsit5 over every active particle, with the
+     full reference state machine as masks — off-particle wind re-light,
+     NaN/Inf windsea resets, log-energy clamp  (mapping_2D.jl:118-243)
+  3. SCATTER: CIC deposit of (E, m_x, m_y) to the 4 surrounding nodes with
+     periodic / non-periodic / tripolar-seam boundaries (ParticleInCell.jl)
+  4. REMESH: per-node gather + reseed state machine (mapping_2D.jl:279-356)
+  5. tick the clock                     (TimeSteppers.jl:163)
+
+Everything is a masked dense operation over ``[nx, ny]`` arrays: no Python
+control flow, no scatter in the hot loop beyond the pad-and-fold deposit,
+fully shardable over a device mesh (see picles_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import fetch_relations as FR
+from ..core.constants import IDConstants, ODEParameters, ODESettings
+from ..forcing.winds import Winds2D
+from ..grids.base import Grid2D
+from ..ops import pic
+from ..ops import transforms as TR
+from ..ops.rhs import RHSParams, TermFlags, particle_equations
+from ..ops.tsit5 import SolverConfig, auto_dt, integrate_to
+from .state import ModelState2D, Particles2D, StepMetrics
+
+SQRT2 = math.sqrt(2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParticleDefaults2D:
+    """Fixed particle initial state (reference core_2D.jl:40-58)."""
+
+    lne: float
+    cg_x: float
+    cg_y: float
+    x: float = 0.0
+    y: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class WaveGrowth2DConfig:
+    """Static model configuration (the kwargs of the reference constructor,
+    WaveGrowthModels2D.jl:194-208)."""
+
+    periodic_boundary: bool = True
+    # "wind_sea" -> seed/reset from local winds; or a ParticleDefaults2D
+    ode_init_type: Union[str, ParticleDefaults2D] = "wind_sea"
+    boundary_type: str = "same"   # "wind_sea" | "mininmal" | "same"
+    scatter_mode: str = "dense"   # "dense" | "xla"
+    halo: int = 3                 # max CIC displacement in cells (dense mode)
+    layers: int = 1
+    dtype: type = jnp.float32
+
+
+class WaveGrowth2D:
+    """Model factory: builds the RHS, seeds, and exposes ``step``.
+
+    Parameters mirror the reference constructor: ``grid``, ``winds``
+    (callable pair), ``ode_settings``, optional ``ode_params`` /
+    ``constants`` / term flags, ``minimal_particle`` / ``minimal_state``
+    overrides, and config switches.
+    """
+
+    def __init__(self, grid: Grid2D, winds: Winds2D,
+                 ode_settings: ODESettings,
+                 ode_params: Optional[ODEParameters] = None,
+                 constants: Optional[IDConstants] = None,
+                 flags: TermFlags = TermFlags(),
+                 minimal_particle=None, minimal_state=None,
+                 config: WaveGrowth2DConfig = WaveGrowth2DConfig(),
+                 rhs: Optional[Callable] = None):
+        self.grid = grid
+        self.winds = winds
+        self.settings = ode_settings
+        self.config = config
+        if ode_params is None:
+            ode_params, constants, _ = ODEParameters.create()
+        self.params = ode_params
+        self.constants = constants or IDConstants.create(r_g=ode_params.r_g)
+        self.flags = flags
+        self.rhs = rhs if rhs is not None else particle_equations(
+            winds.u, winds.v, gamma=self.constants.gamma, params=self.params,
+            constants=self.constants, flags=flags)
+
+        DT = ode_settings.timestep
+        # reference defaults: MinimalParticle(2, 2, DT) / MinimalState(2, 2, DT)
+        # (WaveGrowthModels2D.jl:234-246)
+        self.minimal_particle = (jnp.asarray(minimal_particle, config.dtype)
+                                 if minimal_particle is not None
+                                 else jnp.asarray(FR.MinimalParticle(2.0, 2.0, DT),
+                                                  config.dtype))
+        self.minimal_state = (jnp.asarray(minimal_state, config.dtype)
+                              if minimal_state is not None
+                              else jnp.asarray(FR.MinimalState(2.0, 2.0, DT),
+                                               config.dtype))
+
+        self.solver = SolverConfig(abstol=ode_settings.abstol,
+                                   reltol=ode_settings.reltol,
+                                   dtmin=ode_settings.dtmin,
+                                   force_dtmin=ode_settings.force_dtmin,
+                                   maxiters=ode_settings.maxiters)
+
+        # static node masks
+        self.active_mask = grid.ocean_point_mask(config.periodic_boundary)
+        self.boundary_mask = grid.boundary_point_mask(config.periodic_boundary)
+        self.aux = RHSParams(x=grid.x, y=grid.y, M=grid.proj, pc=grid.pc)
+
+        if config.ode_init_type == "mininmal":
+            # reference WaveGrowthModels2D.jl:228
+            self.defaults: Optional[ParticleDefaults2D] = \
+                ParticleDefaults2D(-11.0, 1e-3, 0.0)
+        elif isinstance(config.ode_init_type, ParticleDefaults2D):
+            self.defaults = config.ode_init_type
+        elif config.ode_init_type == "wind_sea":
+            self.defaults = None
+        else:
+            raise ValueError("ode_init_type must be 'wind_sea', 'mininmal' "
+                             "or a ParticleDefaults2D")
+
+    # ------------------------------------------------------------------
+    # seeding
+    # ------------------------------------------------------------------
+
+    def _reset_values(self, u, v):
+        """Vectorized ResetParticleValues (reference core_2D.jl:307-343):
+        windsea from local winds when no defaults are set, otherwise the
+        fixed defaults; positions (0, 0)."""
+        if self.defaults is None:
+            z = FR.get_initial_windsea_particle_state(u, v, self.settings.timestep)
+        else:
+            d = self.defaults
+            shp = jnp.shape(u)
+            z = jnp.broadcast_to(
+                jnp.asarray([d.lne, d.cg_x, d.cg_y, 0.0, 0.0],
+                            self.config.dtype), shp + (5,))
+        return z.astype(self.config.dtype)
+
+    def init_state(self) -> ModelState2D:
+        """Vectorized particle seeding (reference SeedParticle,
+        core_2D.jl:434-488 + init_particles!, run.jl:199-247)."""
+        cfg = self.config
+        g = self.grid
+        u0, v0 = self.winds(g.x, g.y, jnp.zeros_like(g.x))
+        u0 = jnp.broadcast_to(jnp.asarray(u0, cfg.dtype), g.x.shape)
+        v0 = jnp.broadcast_to(jnp.asarray(v0, cfg.dtype), g.x.shape)
+        wind_speed = jnp.sqrt(u0 ** 2 + v0 ** 2)
+
+        land = g.mask == 0
+        if self.defaults is None:
+            strong = wind_speed > SQRT2  # reference core_2D.jl:258
+            z_sea = FR.get_initial_windsea_particle_state(
+                u0, v0, self.settings.timestep).astype(cfg.dtype)
+            z_min = FR.MinimalParticle(u0, v0,
+                                       self.settings.timestep).astype(cfg.dtype)
+            z = jnp.where(strong[..., None], z_sea, z_min)
+            on = strong & ~land
+        else:
+            z = self._reset_values(u0, v0)
+            on = ~land
+
+        e, mx, my = TR.particle_to_node(z[..., 0], z[..., 1], z[..., 2])
+        state = jnp.stack([e, mx, my], axis=-1) * on[..., None].astype(cfg.dtype)
+
+        particles = Particles2D(
+            z=z,
+            t=jnp.zeros(g.x.shape, cfg.dtype),
+            dt=jnp.full(g.x.shape, self.settings.dt, cfg.dtype),
+            on=on)
+        return ModelState2D(state=state.astype(cfg.dtype), particles=particles,
+                            time=jnp.zeros((), cfg.dtype),
+                            iteration=jnp.zeros((), jnp.int32),
+                            metrics=StepMetrics.zeros())
+
+    # ------------------------------------------------------------------
+    # one model step
+    # ------------------------------------------------------------------
+
+    def step(self, ms: ModelState2D) -> ModelState2D:
+        """One DT: advance -> scatter -> remesh -> tick (pure; jit me)."""
+        cfg = self.config
+        sett = self.settings
+        DT = jnp.asarray(sett.timestep, cfg.dtype)
+        P = ms.particles
+        active = self.active_mask
+        boundary = self.boundary_mask
+
+        # ---------------- ADVANCE ----------------
+        adv = P.on & active
+        res = integrate_to(self.rhs, P.z, P.t, P.t + DT, P.dt, self.aux,
+                           adv, self.solver)
+        failed = res.failed & adv
+        z = jnp.where(adv[..., None], res.z, P.z)
+        t = jnp.where(adv, res.t, P.t)
+        dt = jnp.where(adv, res.dt, P.dt)
+        on = P.on
+
+        # off-particle re-light at (lagged) t_end (mapping_2D.jl:172-185)
+        off = ~P.on & active
+        t_end_off = P.t + DT
+        u_end, v_end = self.winds(self.grid.x, self.grid.y, t_end_off)
+        u_end = jnp.broadcast_to(jnp.asarray(u_end, cfg.dtype), t.shape)
+        v_end = jnp.broadcast_to(jnp.asarray(v_end, cfg.dtype), t.shape)
+        wind2_end = u_end ** 2 + v_end ** 2
+        relight = off & (wind2_end >= sett.wind_min_squared)
+        z_relight = self._reset_values(u_end, v_end)
+        z = jnp.where(relight[..., None], z_relight, z)
+        on = on | relight
+
+        # guards (mapping_2D.jl:196-235); not applied to failed lanes
+        guardable = active & ~failed
+        nan_mask = guardable & jnp.any(jnp.isnan(z[..., :3]), axis=-1)
+        inf_mask = guardable & ~nan_mask & jnp.any(jnp.isinf(z[..., :3]), axis=-1)
+        z_guard = self._reset_values(u_end, v_end)  # winds at t_start + DT
+        bad = nan_mask | inf_mask
+        z = jnp.where(bad[..., None], z_guard, z)
+
+        emax_mask = guardable & ~bad & (z[..., 0] > sett.log_energy_maximum)
+        z = z.at[..., 0].set(jnp.where(emax_mask,
+                                       jnp.asarray(sett.log_energy_maximum,
+                                                   cfg.dtype), z[..., 0]))
+        was_reset_adv = relight | bad | emax_mask
+
+        # ---------------- SCATTER ----------------
+        scatter_on = on & active & ~failed
+        e, mx, my = TR.particle_to_node(z[..., 0], z[..., 1], z[..., 2])
+        charge = jnp.stack([e, mx, my], axis=-1)
+        S, sc_stats = pic.scatter(z[..., 3], z[..., 4], charge, scatter_on,
+                                  self.grid.stats, cfg.halo, cfg.scatter_mode)
+
+        # ---------------- REMESH ----------------
+        # winds at the pre-tick clock time (TimeSteppers.jl:144-151)
+        u_i, v_i = self.winds(self.grid.x, self.grid.y,
+                              jnp.broadcast_to(ms.time, t.shape))
+        u_i = jnp.broadcast_to(jnp.asarray(u_i, cfg.dtype), t.shape)
+        v_i = jnp.broadcast_to(jnp.asarray(v_i, cfg.dtype), t.shape)
+        wind2_i = u_i ** 2 + v_i ** 2
+
+        e_n, mx_n, my_n = S[..., 0], S[..., 1], S[..., 2]
+        m2_n = mx_n ** 2 + my_n ** 2
+        gather = (active & ~boundary
+                  & (e_n >= self.minimal_state[0])
+                  & (m2_n >= self.minimal_state[1]))
+        wind_ok = wind2_i >= sett.wind_min_squared
+        reseed = active & ~gather & wind_ok
+        go_off = active & ~gather & ~reseed
+
+        lne_g, cgx_g, cgy_g = TR.node_to_particle(e_n, mx_n, my_n)
+        zero = jnp.zeros_like(lne_g)
+        z_gather = jnp.stack([lne_g, cgx_g, cgy_g, zero, zero], axis=-1)
+        z_reseed = self._reset_values(u_i, v_i)
+
+        z = jnp.where(gather[..., None], z_gather, z)
+        z = jnp.where(reseed[..., None], z_reseed, z)
+        on = jnp.where(active, (gather | reseed), on)
+
+        # dt reset (auto_dt_reset!) for every lane whose u was replaced
+        was_reset = was_reset_adv | gather | reseed
+        dt_auto = auto_dt(self.rhs, t, z, self.aux, abstol=sett.abstol,
+                          reltol=sett.reltol)
+        dt = jnp.where(was_reset, jnp.clip(dt_auto, sett.dtmin, DT), dt)
+
+        metrics = StepMetrics(
+            n_active=jnp.sum(adv).astype(jnp.int32),
+            n_failed=jnp.sum(failed).astype(jnp.int32),
+            n_nan_reset=jnp.sum(nan_mask).astype(jnp.int32),
+            n_inf_reset=jnp.sum(inf_mask).astype(jnp.int32),
+            n_emax_clamp=jnp.sum(emax_mask).astype(jnp.int32),
+            n_relight=jnp.sum(relight).astype(jnp.int32),
+            n_gather=jnp.sum(gather).astype(jnp.int32),
+            n_reseed=jnp.sum(reseed).astype(jnp.int32),
+            n_off=jnp.sum(go_off).astype(jnp.int32),
+            n_clamped=jnp.asarray(sc_stats.clamped, jnp.int32),
+            substeps_max=jnp.max(res.naccept).astype(jnp.int32))
+
+        particles = Particles2D(z=z, t=t, dt=dt, on=on)
+        return ModelState2D(state=S, particles=particles,
+                            time=ms.time + DT,
+                            iteration=ms.iteration + 1,
+                            metrics=metrics)
+
+    # ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def step_n(self, ms: ModelState2D, n: int) -> Tuple[ModelState2D, jnp.ndarray]:
+        """``lax.scan`` n steps, returning the stacked Eulerian states
+        (the CashStore analog, shape [n, nx, ny, 3])."""
+
+        def body(carry, _):
+            nxt = self.step(carry)
+            return nxt, nxt.state
+
+        return jax.lax.scan(body, ms, None, length=n)
+
+    def step_jit(self) -> Callable:
+        return jax.jit(self.step)
+
+    def fields(self, ms: ModelState2D):
+        """Reference ``fields(model)`` (WaveGrowthModels2D.jl:355)."""
+        return dict(State=ms.state)

@@ -1,0 +1,131 @@
+"""Simulation driver (reference src/Simulations/simulation.jl + run.jl).
+
+``run`` keeps the reference loop semantics — initial store write, one model
+step per DT until ``clock.time`` exceeds ``stop_time`` — but the device-side
+work is chunked through ``lax.scan`` (``chunk_size`` steps per dispatch) so
+the host loop never throttles the TPU; stores receive stacked blocks.
+
+Unlike the reference, ``pickup`` (checkpoint resume) actually works — see
+picles_tpu.simulation.checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .store import CashStore, EmptyStore, StateStore
+
+
+@dataclasses.dataclass
+class Simulation:
+    """Driver state (reference simulation.jl:12-99)."""
+
+    model: object
+    dt: float
+    stop_time: float
+    wall_time_limit: float = float("inf")
+    verbose: bool = False
+    store: object = dataclasses.field(default_factory=EmptyStore)
+    state: object = None
+    initialized: bool = False
+    run_wall_time: float = 0.0
+    running: bool = False
+
+    @classmethod
+    def create(cls, model, stop_time: float, verbose: bool = False,
+               wall_time_limit: float = float("inf")) -> "Simulation":
+        return cls(model=model, dt=model.settings.timestep,
+                   stop_time=stop_time, verbose=verbose,
+                   wall_time_limit=wall_time_limit)
+
+    # -- initialization ------------------------------------------------
+
+    def initialize(self) -> None:
+        """Seed particles (reference initialize_simulation!, run.jl:130-146)."""
+        self.state = self.model.init_state()
+        self.initialized = True
+
+    def reset(self) -> None:
+        """Reference reset_simulation! (run.jl:154-181)."""
+        self.initialize()
+        self.run_wall_time = 0.0
+        if isinstance(self.store, StateStore):
+            self.store.reset()
+
+    def n_steps(self) -> int:
+        """Steps executed by the reference loop: runs while
+        stop_time >= clock.time (run.jl:72-113)."""
+        return int(np.floor(self.stop_time / self.dt)) + 1
+
+    # -- stores --------------------------------------------------------
+
+    def init_state_store(self, path: str, name: str = "state") -> StateStore:
+        """Reference init_state_store! (storing.jl:83-102)."""
+        g = self.model.grid
+        nsteps = self.n_steps()
+        coords = dict(
+            time=np.arange(0.0, (nsteps + 1) * self.dt, self.dt)[:nsteps + 1],
+            x=np.asarray(jax.device_get(g.x[:, 0])) if g.x.ndim == 2
+            else np.asarray(jax.device_get(g.x)),
+        )
+        if g.x.ndim == 2:
+            coords["y"] = np.asarray(jax.device_get(g.y[0, :]))
+        coords["state"] = ["e", "m_x", "m_y"]
+        self.store = StateStore(path, coords, name=name)
+        return self.store
+
+    # -- main loop -----------------------------------------------------
+
+    def run(self, store: bool = False, cash_store: bool = False,
+            chunk_size: int = 0) -> None:
+        """Reference run! (run.jl:36-122).
+
+        chunk_size = 0 picks one scan over all remaining steps when a store
+        is attached (states needed every step) — otherwise a single fused
+        scan with no intermediate output.
+        """
+        t_wall = _time.time()
+        if not self.initialized:
+            self.initialize()
+
+        if cash_store:
+            self.store = CashStore()
+
+        use_store = store or cash_store
+        if use_store:
+            self.store.push(self.state.state)  # initial state write
+
+        remaining = self.n_steps() - int(self.state.iteration)
+        if remaining <= 0:
+            if self.verbose:
+                print("stop_time exceeded, run not executed")
+            return
+
+        if use_store:
+            chunk = chunk_size or remaining
+            done = 0
+            while done < remaining:
+                n = min(chunk, remaining - done)
+                self.state, states = self.model.step_n(self.state, n)
+                if hasattr(self.store, "push_block"):
+                    self.store.push_block(states)
+                else:
+                    for i in range(n):
+                        self.store.push(states[i])
+                done += n
+                if self.verbose:
+                    print(f"t = {float(self.state.time):.0f} s "
+                          f"({done}/{remaining} steps)")
+                if _time.time() - t_wall > self.wall_time_limit:
+                    print("wall time limit reached")
+                    break
+        else:
+            self.state, _ = self.model.step_n(self.state, remaining)
+            jax.block_until_ready(self.state.state)
+
+        self.run_wall_time += _time.time() - t_wall

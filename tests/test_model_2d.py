@@ -1,0 +1,192 @@
+"""WaveGrowth2D integration tests (reference T04 2D box regression analogs,
+asserting instead of plotting)."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from picles_tpu.core import fetch_relations as FR
+from picles_tpu.core.constants import ODESettings
+from picles_tpu.forcing.winds import constant_winds, half_domain_winds
+from picles_tpu.grids.cartesian import cartesian_box
+from picles_tpu.models.wave_growth_2d import (ParticleDefaults2D, WaveGrowth2D,
+                                              WaveGrowth2DConfig)
+from picles_tpu.ops.rhs import RHSParams
+from picles_tpu.ops.tsit5 import SolverConfig, integrate_to
+
+
+def _settings(DT=600.0, U=10.0, V=10.0):
+    ws_min = FR.MinimalWindsea(U, V, DT)
+    return ODESettings(log_energy_minimum=float(ws_min.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+
+
+def _box_model(U=10.0, V=10.0, n=21, periodic=True, **cfg_kw):
+    grid = cartesian_box(100e3, n, 100e3, n,
+                         periodic_boundary=(periodic, periodic))
+    cfg = WaveGrowth2DConfig(periodic_boundary=periodic, **cfg_kw)
+    return WaveGrowth2D(grid, constant_winds(U, V), _settings(U=U, V=V),
+                        config=cfg)
+
+
+def test_seeding_windsea_matches_fetch_law():
+    model = _box_model()
+    ms = model.init_state()
+    ws = FR.get_initial_windsea(10.0, 10.0, 600.0)
+    # every ocean node seeded on with the windsea energy
+    assert bool(jnp.all(ms.particles.on))
+    np.testing.assert_allclose(float(ms.state[5, 5, 0]), float(ws.E), rtol=1e-5)
+    np.testing.assert_allclose(float(ms.state[5, 5, 1]), float(ws.m_x), rtol=1e-5)
+
+
+def test_seeding_weak_wind_minimal_off():
+    model = _box_model(U=0.5, V=0.5)
+    ms = model.init_state()
+    assert not bool(jnp.any(ms.particles.on))
+    np.testing.assert_allclose(np.asarray(ms.state), 0.0, atol=1e-12)
+    # particle z carries the minimal particle
+    mp = FR.MinimalParticle(0.5, 0.5, 600.0)
+    np.testing.assert_allclose(np.asarray(ms.particles.z[3, 3]),
+                               np.asarray(mp), rtol=1e-5)
+
+
+def test_homogeneous_growth_matches_single_particle_ode():
+    """Uniform wind + periodic box: the PIC cycle is an exact identity, so
+    the field energy must track the single-particle ODE (B01/T04 analog)."""
+    model = _box_model(periodic=True)
+    ms = model.init_state()
+    step = jax.jit(model.step)
+    n_steps = 12  # 2 hours
+    for _ in range(n_steps):
+        ms = step(ms)
+
+    # single-particle chain: integrate the same RHS straight through
+    z0 = FR.get_initial_windsea_particle_state(10.0, 10.0, 600.0)[None, :]
+    aux = RHSParams(x=jnp.zeros(1), y=jnp.zeros(1),
+                    M=model.grid.proj[0, 0][None], pc=jnp.zeros(1))
+    res = integrate_to(model.rhs, z0.astype(jnp.float32), jnp.zeros(1),
+                       jnp.full((1,), n_steps * 600.0), jnp.full((1,), 1e-3),
+                       aux, jnp.array([True]),
+                       SolverConfig(abstol=1e-6, reltol=1e-7))
+    e_particle = float(jnp.exp(res.z[0, 0]))
+    e_field = np.asarray(ms.state[..., 0])
+    # uniform field
+    assert e_field.std() / e_field.mean() < 1e-3
+    np.testing.assert_allclose(e_field.mean(), e_particle, rtol=2e-2)
+    assert int(ms.metrics.n_failed) == 0
+
+
+def test_energy_growth_monotone_early():
+    model = _box_model()
+    ms = model.init_state()
+    step = jax.jit(model.step)
+    means = [float(ms.state[..., 0].mean())]
+    for _ in range(6):
+        ms = step(ms)
+        means.append(float(ms.state[..., 0].mean()))
+    assert all(b > a for a, b in zip(means, means[1:]))
+
+
+def test_determinism_bitwise():
+    """Same input -> bitwise same state (the reference's threaded scatter
+    races; XLA is deterministic — SURVEY §5 race-detection note)."""
+    model = _box_model()
+    ms = model.init_state()
+    step = jax.jit(model.step)
+    a = step(ms)
+    b = step(ms)
+    assert np.array_equal(np.asarray(a.state), np.asarray(b.state))
+    assert np.array_equal(np.asarray(a.particles.z), np.asarray(b.particles.z))
+
+
+def test_scatter_modes_agree_in_model():
+    m1 = _box_model(scatter_mode="dense")
+    m2 = _box_model(scatter_mode="xla")
+    ms1, ms2 = m1.init_state(), m2.init_state()
+    for _ in range(3):
+        ms1 = m1.step(ms1)
+        ms2 = m2.step(ms2)
+    # f32 summation-order differences compound through exp/log round-trips
+    np.testing.assert_allclose(np.asarray(ms1.state), np.asarray(ms2.state),
+                               rtol=2e-3, atol=1e-9)
+
+
+def test_nonperiodic_fetch_gradient():
+    """Non-periodic box, wind along +x: energy should grow with fetch
+    (downwind nodes carry more energy than upwind ones) — T04 physics."""
+    model = _box_model(U=10.0, V=0.0, n=31, periodic=False)
+    ms = model.init_state()
+    step = jax.jit(model.step)
+    for _ in range(18):  # 3 hours
+        ms = step(ms)
+    e = np.asarray(ms.state[..., 0])
+    interior = e[1:-1, 1:-1]
+    mid = interior.shape[1] // 2
+    upwind = interior[1, mid]
+    downwind = interior[-2, mid]
+    assert downwind > upwind * 1.01
+    assert int(ms.metrics.n_failed) == 0
+
+
+def test_half_domain_wind_relight_and_off():
+    """Wind only in half the domain: calm-side particles sit off; the wavy
+    side stays on (T04_2D_on_off analog)."""
+    grid = cartesian_box(100e3, 21, 100e3, 21, periodic_boundary=(False, False))
+    winds = half_domain_winds(10.0, 0.0, x_split=50e3, background=0.0)
+    model = WaveGrowth2D(grid, winds, _settings(U=10.0, V=0.0),
+                         config=WaveGrowth2DConfig(periodic_boundary=False))
+    ms = model.init_state()
+    on0 = np.asarray(ms.particles.on)
+    assert on0[2, 10] and not on0[18, 10]
+    step = jax.jit(model.step)
+    for _ in range(6):
+        ms = step(ms)
+    e = np.asarray(ms.state[..., 0])
+    assert e[3, 10] > 0
+    assert int(ms.metrics.n_failed) == 0
+    assert np.all(np.isfinite(e))
+
+
+def test_emax_clamp_engages():
+    """Force an absurdly low energy ceiling and check the clamp fires."""
+    ws_min = FR.MinimalWindsea(10.0, 10.0, 600.0)
+    sett = ODESettings(log_energy_minimum=float(ws_min.lne),
+                       log_energy_maximum=math.log(1e-3),
+                       saving_step=600.0, timestep=600.0,
+                       total_time=6 * 24 * 3600.0, dt=1e-3, dtmin=1e-4,
+                       force_dtmin=True)
+    grid = cartesian_box(50e3, 11, 50e3, 11, periodic_boundary=(True, True))
+    model = WaveGrowth2D(grid, constant_winds(10.0, 10.0), sett)
+    ms = model.init_state()
+    step = jax.jit(model.step)
+    clamped = 0
+    for _ in range(8):
+        ms = step(ms)
+        clamped += int(ms.metrics.n_emax_clamp)
+    assert clamped > 0
+    assert float(ms.state[..., 0].max()) <= 1e-3 * 1.05
+
+
+def test_fixed_defaults_seeding():
+    d = ParticleDefaults2D(lne=math.log(1e-4), cg_x=2.0, cg_y=0.0)
+    model = _box_model(ode_init_type=d)
+    ms = model.init_state()
+    np.testing.assert_allclose(float(ms.particles.z[4, 4, 0]), d.lne, rtol=1e-6)
+    assert bool(jnp.all(ms.particles.on))
+
+
+def test_step_n_scan_matches_loop():
+    model = _box_model()
+    ms = model.init_state()
+    ms_scan, states = model.step_n(ms, 4)
+    ms_loop = ms
+    step = jax.jit(model.step)
+    for _ in range(4):
+        ms_loop = step(ms_loop)
+    np.testing.assert_allclose(np.asarray(ms_scan.state),
+                               np.asarray(ms_loop.state), rtol=1e-6)
+    assert states.shape[0] == 4

@@ -1,0 +1,101 @@
+"""Simulation driver + store tests (reference run!/storing semantics)."""
+
+import os
+
+import h5py
+import numpy as np
+import jax.numpy as jnp
+
+from picles_tpu.core import fetch_relations as FR
+from picles_tpu.core.constants import ODESettings
+from picles_tpu.forcing.winds import constant_winds
+from picles_tpu.grids.cartesian import cartesian_box
+from picles_tpu.models.wave_growth_2d import WaveGrowth2D, WaveGrowth2DConfig
+from picles_tpu.simulation.simulation import Simulation
+from picles_tpu.simulation.store import CashStore, convert_store_to_tuple
+
+
+def _sim(stop_time=3600.0, n=15):
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(100e3, n, 100e3, n, periodic_boundary=(True, True))
+    model = WaveGrowth2D(grid, constant_winds(10.0, 10.0), sett)
+    return Simulation.create(model, stop_time=stop_time)
+
+
+def test_run_step_count_matches_reference_loop():
+    sim = _sim(stop_time=3600.0)  # 6 DTs -> reference runs 7 steps
+    assert sim.n_steps() == 7
+    sim.run(cash_store=True)
+    # initial write + one per step
+    assert len(sim.store.store) == 8
+    assert float(sim.state.time) == 7 * 600.0
+
+
+def test_cash_store_contents_grow():
+    sim = _sim(stop_time=1800.0)
+    sim.run(cash_store=True)
+    arr = sim.store.as_array()
+    e0, e_last = arr[0, ..., 0].mean(), arr[-1, ..., 0].mean()
+    assert e_last > e0
+    assert arr.shape[1:] == (15, 15, 3)
+
+
+def test_hdf5_state_store_layout(tmp_path):
+    """Store layout parity with the reference (storing.jl:36-62):
+    waves/data[time, x, y, state], dims attr, var_names."""
+    sim = _sim(stop_time=1800.0)
+    sim.initialize()
+    sim.init_state_store(str(tmp_path))
+    sim.run(store=True)
+    sim.store.close()
+
+    with h5py.File(os.path.join(str(tmp_path), "state.h5")) as f:
+        assert "waves" in f
+        d = f["waves/data"]
+        assert d.shape == (5, 15, 15, 3)  # initial + 4 steps
+        assert list(f["waves"].attrs["dims"]) == ["time", "x", "y", "state"]
+        assert [v.decode() for v in f["waves/var_names"][:]] == ["e", "m_x", "m_y"]
+        assert f["waves/time"].shape == (5,)
+        data = d[:]
+        assert np.all(np.isfinite(data))
+        assert data[1:, ..., 0].min() > 0  # post-step energies positive
+
+
+def test_chunked_run_equals_unchunked(tmp_path):
+    s1 = _sim(stop_time=2400.0)
+    s1.run(cash_store=True)
+    s2 = _sim(stop_time=2400.0)
+    s2.initialize()
+    s2.store = CashStore()
+    s2.store.push(s2.state.state)
+    remaining = s2.n_steps()
+    done = 0
+    while done < remaining:
+        n = min(2, remaining - done)
+        s2.state, states = s2.model.step_n(s2.state, n)
+        s2.store.push_block = None  # force per-state path not needed; push each
+        for i in range(n):
+            s2.store.push(states[i])
+        done += n
+    a1, a2 = s1.store.as_array(), s2.store.as_array()
+    np.testing.assert_allclose(a1, a2, rtol=1e-6)
+
+
+def test_reset_simulation():
+    sim = _sim(stop_time=1200.0)
+    sim.run(cash_store=True)
+    t_after = float(sim.state.time)
+    sim.reset()
+    assert float(sim.state.time) == 0.0
+    assert t_after > 0.0
+
+
+def test_convert_store_to_tuple():
+    sim = _sim(stop_time=1200.0)
+    sim.run(cash_store=True)
+    out = convert_store_to_tuple(sim.store)
+    assert out["data"].shape[0] == len(sim.store.store)
