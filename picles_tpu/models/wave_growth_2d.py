@@ -194,16 +194,29 @@ class WaveGrowth2D:
 
     def step(self, ms: ModelState2D) -> ModelState2D:
         """One DT: advance -> scatter -> remesh -> tick (pure; jit me)."""
+        return self.step_core(ms, self.grid, self.active_mask,
+                              self.boundary_mask, None)
+
+    def step_core(self, ms: ModelState2D, grid: Grid2D,
+                  active: jnp.ndarray, boundary: jnp.ndarray,
+                  scatter_fn: Optional[Callable],
+                  psum_axes: Optional[Tuple[str, ...]] = None) -> ModelState2D:
+        """Step body over explicit (possibly shard-local) grid arrays.
+
+        ``scatter_fn(xrel, yrel, charge, act) -> (S, stats)`` overrides the
+        deposit (the sharded path injects a halo-exchange version); None
+        selects the local config scatter.  Everything else is elementwise
+        and runs unchanged under ``shard_map``.
+        """
         cfg = self.config
         sett = self.settings
         DT = jnp.asarray(sett.timestep, cfg.dtype)
         P = ms.particles
-        active = self.active_mask
-        boundary = self.boundary_mask
+        aux = RHSParams(x=grid.x, y=grid.y, M=grid.proj, pc=grid.pc)
 
         # ---------------- ADVANCE ----------------
         adv = P.on & active
-        res = integrate_to(self.rhs, P.z, P.t, P.t + DT, P.dt, self.aux,
+        res = integrate_to(self.rhs, P.z, P.t, P.t + DT, P.dt, aux,
                            adv, self.solver)
         failed = res.failed & adv
         z = jnp.where(adv[..., None], res.z, P.z)
@@ -214,7 +227,7 @@ class WaveGrowth2D:
         # off-particle re-light at (lagged) t_end (mapping_2D.jl:172-185)
         off = ~P.on & active
         t_end_off = P.t + DT
-        u_end, v_end = self.winds(self.grid.x, self.grid.y, t_end_off)
+        u_end, v_end = self.winds(grid.x, grid.y, t_end_off)
         u_end = jnp.broadcast_to(jnp.asarray(u_end, cfg.dtype), t.shape)
         v_end = jnp.broadcast_to(jnp.asarray(v_end, cfg.dtype), t.shape)
         wind2_end = u_end ** 2 + v_end ** 2
@@ -241,12 +254,15 @@ class WaveGrowth2D:
         scatter_on = on & active & ~failed
         e, mx, my = TR.particle_to_node(z[..., 0], z[..., 1], z[..., 2])
         charge = jnp.stack([e, mx, my], axis=-1)
-        S, sc_stats = pic.scatter(z[..., 3], z[..., 4], charge, scatter_on,
-                                  self.grid.stats, cfg.halo, cfg.scatter_mode)
+        if scatter_fn is None:
+            S, sc_stats = pic.scatter(z[..., 3], z[..., 4], charge, scatter_on,
+                                      grid.stats, cfg.halo, cfg.scatter_mode)
+        else:
+            S, sc_stats = scatter_fn(z[..., 3], z[..., 4], charge, scatter_on)
 
         # ---------------- REMESH ----------------
         # winds at the pre-tick clock time (TimeSteppers.jl:144-151)
-        u_i, v_i = self.winds(self.grid.x, self.grid.y,
+        u_i, v_i = self.winds(grid.x, grid.y,
                               jnp.broadcast_to(ms.time, t.shape))
         u_i = jnp.broadcast_to(jnp.asarray(u_i, cfg.dtype), t.shape)
         v_i = jnp.broadcast_to(jnp.asarray(v_i, cfg.dtype), t.shape)
@@ -272,22 +288,37 @@ class WaveGrowth2D:
 
         # dt reset (auto_dt_reset!) for every lane whose u was replaced
         was_reset = was_reset_adv | gather | reseed
-        dt_auto = auto_dt(self.rhs, t, z, self.aux, abstol=sett.abstol,
+        dt_auto = auto_dt(self.rhs, t, z, aux, abstol=sett.abstol,
                           reltol=sett.reltol)
         dt = jnp.where(was_reset, jnp.clip(dt_auto, sett.dtmin, DT), dt)
 
+        if psum_axes:
+            def _count(x):
+                return jax.lax.psum(jnp.sum(x).astype(jnp.int32), psum_axes)
+
+            def _maxred(x):
+                return jax.lax.pmax(jnp.max(x).astype(jnp.int32), psum_axes)
+        else:
+            def _count(x):
+                return jnp.sum(x).astype(jnp.int32)
+
+            def _maxred(x):
+                return jnp.max(x).astype(jnp.int32)
+
         metrics = StepMetrics(
-            n_active=jnp.sum(adv).astype(jnp.int32),
-            n_failed=jnp.sum(failed).astype(jnp.int32),
-            n_nan_reset=jnp.sum(nan_mask).astype(jnp.int32),
-            n_inf_reset=jnp.sum(inf_mask).astype(jnp.int32),
-            n_emax_clamp=jnp.sum(emax_mask).astype(jnp.int32),
-            n_relight=jnp.sum(relight).astype(jnp.int32),
-            n_gather=jnp.sum(gather).astype(jnp.int32),
-            n_reseed=jnp.sum(reseed).astype(jnp.int32),
-            n_off=jnp.sum(go_off).astype(jnp.int32),
-            n_clamped=jnp.asarray(sc_stats.clamped, jnp.int32),
-            substeps_max=jnp.max(res.naccept).astype(jnp.int32))
+            n_active=_count(adv),
+            n_failed=_count(failed),
+            n_nan_reset=_count(nan_mask),
+            n_inf_reset=_count(inf_mask),
+            n_emax_clamp=_count(emax_mask),
+            n_relight=_count(relight),
+            n_gather=_count(gather),
+            n_reseed=_count(reseed),
+            n_off=_count(go_off),
+            n_clamped=(jax.lax.psum(jnp.asarray(sc_stats.clamped, jnp.int32),
+                                    psum_axes) if psum_axes
+                       else jnp.asarray(sc_stats.clamped, jnp.int32)),
+            substeps_max=_maxred(res.naccept))
 
         particles = Particles2D(z=z, t=t, dt=dt, on=on)
         return ModelState2D(state=S, particles=particles,

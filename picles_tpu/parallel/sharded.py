@@ -1,0 +1,210 @@
+"""Multi-chip execution: shard_map'd model step with halo exchange.
+
+The reference parallelizes with `@threads` over a SharedArray on one host
+plus an experimental Distributed/DArray block partition
+(TimeSteppers.jl:144-180, tests/T05_2D_distributed_particles.jl).  The
+TPU-native design block-shards the ``[nx, ny]`` particle/grid arrays over a
+2D device mesh; the model step is embarrassingly parallel except the CIC
+deposit, whose inter-shard traffic is exactly the halo slabs of the padded
+accumulator (picles_tpu.ops.pic.scatter_accumulate_padded):
+
+ - interior edges: the H-wide x/y halo slabs ride ``ppermute`` rings to the
+   neighboring shard and are added to its core — one bidirectional exchange
+   per axis per step over ICI,
+ - domain edges fall out of the ``ppermute`` permutation: a periodic domain
+   closes the ring (wrap == neighbor-add), a non-periodic one omits the wrap
+   link so edge shards receive zeros (== the reference's silent drop,
+   ParticleInCell.jl:318-338),
+ - the tripolar north seam all-gathers the top halo slab along x (H rows of
+   the global grid), applies the global x-flip fold, and each top-row shard
+   adds back its slice (TripolarNorthBoundary, ParticleInCell.jl:409-428).
+
+Everything else in the step (ODE advance, guards, remesh) needs no
+communication; metrics are ``psum``-reduced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..grids.base import Boundary, Grid2D
+from ..models.state import ModelState2D, Particles2D, StepMetrics
+from ..ops import pic
+
+
+def make_mesh(devices=None, shape: Optional[Tuple[int, int]] = None,
+              axis_names=("x", "y")) -> Mesh:
+    """Build a 2D device mesh; defaults to all devices in a (n, 1) layout."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (devices.size, 1)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def _ring_perm(n: int, wrap: bool, reverse: bool = False):
+    """Permutation for sending slabs one step along a mesh axis."""
+    if reverse:  # send to the left neighbor (i -> i-1)
+        perm = [(i, i - 1) for i in range(1, n)]
+        if wrap and n > 0:
+            perm.append((0, n - 1))
+    else:        # send to the right neighbor (i -> i+1)
+        perm = [(i, i + 1) for i in range(n - 1)]
+        if wrap and n > 0:
+            perm.append((n - 1, 0))
+    return perm
+
+
+def grid_specs(grid: Grid2D) -> Grid2D:
+    """PartitionSpec pytree matching Grid2D leaves."""
+    return Grid2D(x=P("x", "y"), y=P("x", "y"), dx_m=P("x", "y"),
+                  dy_m=P("x", "y"), area=P("x", "y"), angle=P("x", "y"),
+                  mask=P("x", "y"), proj=P("x", "y", None, None),
+                  pc=P("x", "y"), stats=grid.stats)
+
+
+def state_specs() -> ModelState2D:
+    return ModelState2D(
+        state=P("x", "y", None),
+        particles=Particles2D(z=P("x", "y", None), t=P("x", "y"),
+                              dt=P("x", "y"), on=P("x", "y")),
+        time=P(), iteration=P(),
+        metrics=StepMetrics(*([P()] * len(StepMetrics._fields))))
+
+
+class ShardedWaveGrowth2D:
+    """Wraps a WaveGrowth2D model with a shard_map'd step over ``mesh``.
+
+    Usage:
+        sharded = ShardedWaveGrowth2D(model, mesh)
+        ms = sharded.shard_state(model.init_state())
+        ms = sharded.step(ms)        # jitted, collective halo exchange
+    """
+
+    def __init__(self, model, mesh: Mesh):
+        self.model = model
+        self.mesh = mesh
+        self.nx_dev = mesh.shape["x"]
+        self.ny_dev = mesh.shape["y"]
+        g = model.grid
+        if g.nx % self.nx_dev or g.ny % self.ny_dev:
+            raise ValueError(
+                f"grid {g.nx}x{g.ny} not divisible by mesh "
+                f"{self.nx_dev}x{self.ny_dev}")
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------
+
+    def _scatter_sharded(self, xrel, yrel, charge, act):
+        """Local accumulate + ppermute halo exchange + boundary folds."""
+        model = self.model
+        H = model.config.halo
+        st = model.grid.stats
+        nxd, nyd = self.nx_dev, self.ny_dev
+
+        Pacc, stats = pic.scatter_accumulate_padded(xrel, yrel, charge, act, H)
+        nxl = Pacc.shape[0] - 2 * H
+        nyl = Pacc.shape[1] - 2 * H
+
+        # ---- x axis ----
+        wrap_x = st.bx == Boundary.PERIODIC or st.bx == Boundary.TRIPOLAR_NORTH
+        left_halo = Pacc[:H]              # belongs to left neighbor's tail
+        right_halo = Pacc[H + nxl:]       # belongs to right neighbor's head
+        from_right = jax.lax.ppermute(left_halo, "x",
+                                      _ring_perm(nxd, wrap_x, reverse=True))
+        from_left = jax.lax.ppermute(right_halo, "x",
+                                     _ring_perm(nxd, wrap_x, reverse=False))
+        Q = Pacc[H:H + nxl]
+        Q = Q.at[nxl - H:].add(from_right)
+        Q = Q.at[:H].add(from_left)
+
+        # ---- y axis ----
+        wrap_y = st.by == Boundary.PERIODIC
+        bot_halo = Q[:, :H]
+        top_halo = Q[:, H + nyl:]
+        from_top = jax.lax.ppermute(bot_halo, "y",
+                                    _ring_perm(nyd, wrap_y, reverse=True))
+        from_bot = jax.lax.ppermute(top_halo, "y",
+                                    _ring_perm(nyd, wrap_y, reverse=False))
+        S = Q[:, H:H + nyl]
+        S = S.at[:, nyl - H:].add(from_top)
+        S = S.at[:, :H].add(from_bot)
+
+        if st.by == Boundary.TRIPOLAR_NORTH:
+            # global x-flip fold of the top halo; only the top y-row of
+            # shards receives it (mirrors pic.fold_padded_y tripolar branch).
+            full_top = jax.lax.all_gather(top_halo, "x", axis=0, tiled=True)
+            nx_glob = full_top.shape[0]
+            ix = jax.lax.axis_index("x")
+            iy = jax.lax.axis_index("y")
+            is_top = (iy == nyd - 1).astype(S.dtype)
+            my_x0 = ix * nxl
+            for k in range(H):
+                row = full_top[:, k]                       # [nx_glob, C]
+                folded = jnp.roll(row[::-1], -1, axis=0)    # x' = nx-2-x mod nx
+                my_slice = jax.lax.dynamic_slice_in_dim(folded, my_x0, nxl, 0)
+                S = S.at[:, nyl - 1 - k].add(is_top * my_slice)
+        return S, stats
+
+    # ------------------------------------------------------------------
+
+    def _build_step(self):
+        model = self.model
+        gspec = grid_specs(model.grid)
+        msspec = state_specs()
+
+        def local_step(ms, grid, active, boundary):
+            return model.step_core(ms, grid, active, boundary,
+                                   self._scatter_sharded,
+                                   psum_axes=("x", "y"))
+
+        sharded = shard_map(
+            local_step, mesh=self.mesh,
+            in_specs=(msspec, gspec, P("x", "y"), P("x", "y")),
+            out_specs=msspec,
+            check_vma=False)
+
+        def step(ms):
+            return sharded(ms, model.grid, model.active_mask,
+                           model.boundary_mask)
+
+        return jax.jit(step)
+
+    def step(self, ms: ModelState2D) -> ModelState2D:
+        return self._step(ms)
+
+    def step_n(self, ms: ModelState2D, n: int):
+        def body(carry, _):
+            nxt = self._step(carry)
+            return nxt, nxt.state
+
+        return jax.lax.scan(body, ms, None, length=n)
+
+    # ------------------------------------------------------------------
+
+    def shard_state(self, ms: ModelState2D) -> ModelState2D:
+        """Place a (host/global) ModelState onto the mesh with the step's
+        shardings so no resharding happens inside the loop."""
+        specs = state_specs()
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            ms, specs)
+
+    def shard_grid_and_masks(self):
+        """Optionally pre-place grid arrays (XLA would otherwise reshard on
+        first use)."""
+        m = self.model
+        gspec = grid_specs(m.grid)
+        m.grid = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s))
+            if isinstance(s, P) else x, m.grid, gspec)
+        m.active_mask = jax.device_put(
+            m.active_mask, NamedSharding(self.mesh, P("x", "y")))
+        m.boundary_mask = jax.device_put(
+            m.boundary_mask, NamedSharding(self.mesh, P("x", "y")))
