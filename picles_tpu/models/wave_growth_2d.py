@@ -328,6 +328,40 @@ class WaveGrowth2D:
 
     # ------------------------------------------------------------------
 
+    # ------------------------------------------------------------------
+    # layers (reference `layers` State dimension, WaveGrowthModels2D.jl:112-119;
+    # the per-layer particle types of T06 don't exist in the reference src —
+    # here every layer is a full particle system, vmapped)
+    # ------------------------------------------------------------------
+
+    def init_state_layers(self) -> ModelState2D:
+        """Stack `config.layers` identical copies along a leading axis."""
+        L = self.config.layers
+        base = self.init_state()
+
+        def bc(x):
+            return jnp.broadcast_to(x, (L,) + x.shape)
+
+        return ModelState2D(
+            state=bc(base.state),
+            particles=Particles2D(z=bc(base.particles.z),
+                                  t=bc(base.particles.t),
+                                  dt=bc(base.particles.dt),
+                                  on=bc(base.particles.on)),
+            time=base.time, iteration=base.iteration, metrics=base.metrics)
+
+    def step_layers(self, ms: ModelState2D) -> ModelState2D:
+        """vmap the step over the leading layer axis (shared clock)."""
+        no_metrics = StepMetrics(*([None] * len(StepMetrics._fields)))
+        per_layer = StepMetrics(*([0] * len(StepMetrics._fields)))
+        p_axes0 = Particles2D(z=0, t=0, dt=0, on=0)
+        in_axes = ModelState2D(state=0, particles=p_axes0, time=None,
+                               iteration=None, metrics=no_metrics)
+        out_axes = ModelState2D(state=0, particles=p_axes0, time=None,
+                                iteration=None, metrics=per_layer)
+        return jax.vmap(self.step, in_axes=(in_axes,),
+                        out_axes=out_axes)(ms)
+
     @partial(jax.jit, static_argnums=(0, 2))
     def step_n(self, ms: ModelState2D, n: int) -> Tuple[ModelState2D, jnp.ndarray]:
         """``lax.scan`` n steps, returning the stacked Eulerian states

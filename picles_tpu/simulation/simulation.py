@@ -57,6 +57,19 @@ class Simulation:
         if isinstance(self.store, StateStore):
             self.store.reset()
 
+    def pickup(self, path: str) -> None:
+        """Resume from a checkpoint (the reference's run!(pickup=...) is a
+        no-op stub, run.jl:32-36; this one works)."""
+        from .checkpoint import load_checkpoint
+
+        self.state = load_checkpoint(path)
+        self.initialized = True
+
+    def checkpoint(self, path: str) -> str:
+        from .checkpoint import save_checkpoint
+
+        return save_checkpoint(path, self.state)
+
     def n_steps(self) -> int:
         """Steps executed by the reference loop: runs while
         stop_time >= clock.time (run.jl:72-113)."""

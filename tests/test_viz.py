@@ -1,0 +1,59 @@
+"""Visualization smoke tests (Agg backend; files actually written)."""
+
+import os
+
+import numpy as np
+import jax
+
+from picles_tpu.core import fetch_relations as FR
+from picles_tpu.core.constants import ODESettings
+from picles_tpu.forcing.winds import constant_winds, constant_winds_1d
+from picles_tpu.grids.cartesian import cartesian_box
+from picles_tpu.grids.tripolar import synthetic_tripolar_grid
+from picles_tpu.models.wave_growth_1d import WaveGrowth1D, WaveGrowth1DConfig, one_d_grid
+from picles_tpu.models.wave_growth_2d import WaveGrowth2D, WaveGrowth2DConfig
+from picles_tpu.viz import plotting as V
+
+
+def _sett(DT=600.0):
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    return ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+
+
+def test_plot_results_1d(tmp_path):
+    grid = one_d_grid(0.0, 200e3, 21)
+    model = WaveGrowth1D(grid, constant_winds_1d(10.0), _sett(),
+                         config=WaveGrowth1DConfig(periodic_boundary=False))
+    ms = model.init_state()
+    ms, states = model.step_n(ms, 5)
+    p = str(tmp_path / "oned.png")
+    V.plot_results_1d(np.asarray(states), np.asarray(grid.x),
+                      np.arange(1, 6) * 600.0,
+                      u_func=lambda x, t: 10.0, path=p)
+    assert os.path.getsize(p) > 1000
+
+
+def test_plot_state_2d_and_movie(tmp_path):
+    grid = cartesian_box(100e3, 15, 100e3, 15, periodic_boundary=(True, True))
+    model = WaveGrowth2D(grid, constant_winds(10.0, 10.0), _sett(),
+                         config=WaveGrowth2DConfig(periodic_boundary=True))
+    ms = model.init_state()
+    ms, states = model.step_n(ms, 4)
+    ax = V.plot_state_2d(grid, np.asarray(ms.state), title="E")
+    assert ax is not None
+    import matplotlib.pyplot as plt
+    plt.close("all")
+    p = str(tmp_path / "movie.gif")
+    V.movie_2d(grid, np.asarray(states), p, times=np.arange(1, 5) * 600.0)
+    assert os.path.getsize(p) > 1000
+
+
+def test_double_globe_with_seam(tmp_path):
+    grid = synthetic_tripolar_grid(k=2)
+    import jax.numpy as jnp
+    state = jnp.ones((grid.nx, grid.ny, 3)) * 0.01
+    p = str(tmp_path / "globe.png")
+    V.plot_state_double_globe(grid, np.asarray(state), path=p, show_seam=True)
+    assert os.path.getsize(p) > 1000
