@@ -64,9 +64,12 @@ class WaveGrowth2DConfig:
     ode_init_type: Union[str, ParticleDefaults2D] = "wind_sea"
     boundary_type: str = "same"   # "wind_sea" | "mininmal" | "same"
     scatter_mode: str = "dense"   # "dense" | "xla"
+    advance_mode: str = "xla"     # "xla" (lax.while_loop) | "pallas" (fused)
     halo: int = 3                 # max CIC displacement in cells (dense mode)
     layers: int = 1
     dtype: type = jnp.float32
+    pallas_block_x: int = 0         # 0 = auto (VMEM-budget sized)
+    pallas_interpret: bool = False  # interpreter mode (CPU testing)
 
 
 class WaveGrowth2D:
@@ -216,12 +219,32 @@ class WaveGrowth2D:
 
         # ---------------- ADVANCE ----------------
         adv = P.on & active
-        res = integrate_to(self.rhs, P.z, P.t, P.t + DT, P.dt, aux,
-                           adv, self.solver)
-        failed = res.failed & adv
-        z = jnp.where(adv[..., None], res.z, P.z)
-        t = jnp.where(adv, res.t, P.t)
-        dt = jnp.where(adv, res.dt, P.dt)
+        if cfg.advance_mode == "pallas":
+            from ..ops.advance_pallas import advance_pallas
+            from ..ops.rhs import make_rhs_consts
+
+            consts = make_rhs_consts(gamma=self.constants.gamma,
+                                     constants=self.constants,
+                                     params=self.params)
+            pres = advance_pallas(self.winds.u, self.winds.v, consts,
+                                  self.flags, self.solver,
+                                  float(sett.timestep), P.z, P.t, P.dt, adv,
+                                  grid.x, grid.y, grid.proj, grid.pc,
+                                  block_x=cfg.pallas_block_x,
+                                  interpret=cfg.pallas_interpret)
+            res_z = jnp.stack([pres.lne, pres.cgx, pres.cgy, pres.x, pres.y],
+                              axis=-1)
+            res_t, res_dt = pres.t, pres.dt
+            res_failed, res_naccept = pres.failed, pres.naccept
+        else:
+            res = integrate_to(self.rhs, P.z, P.t, P.t + DT, P.dt, aux,
+                               adv, self.solver)
+            res_z, res_t, res_dt = res.z, res.t, res.dt
+            res_failed, res_naccept = res.failed, res.naccept
+        failed = res_failed & adv
+        z = jnp.where(adv[..., None], res_z, P.z)
+        t = jnp.where(adv, res_t, P.t)
+        dt = jnp.where(adv, res_dt, P.dt)
         on = P.on
 
         # off-particle re-light at (lagged) t_end (mapping_2D.jl:172-185)
@@ -318,7 +341,7 @@ class WaveGrowth2D:
             n_clamped=(jax.lax.psum(jnp.asarray(sc_stats.clamped, jnp.int32),
                                     psum_axes) if psum_axes
                        else jnp.asarray(sc_stats.clamped, jnp.int32)),
-            substeps_max=_maxred(res.naccept))
+            substeps_max=_maxred(res_naccept))
 
         particles = Particles2D(z=z, t=t, dt=dt, on=on)
         return ModelState2D(state=S, particles=particles,

@@ -1,0 +1,224 @@
+"""Pallas fused advance kernel — the whole adaptive ODE sub-step loop in VMEM.
+
+The XLA `integrate_to` while_loop round-trips its full carry through HBM on
+every accepted/rejected sub-step and pays per-iteration kernel-launch
+overhead.  This kernel instead tiles the particle SoA over x-row blocks,
+loads one block's state into VMEM, and runs the *entire* adaptive Tsit5 loop
+(accept/reject, PI control, dtmin/force_dtmin, per-lane t/dt) inside the
+kernel — pure VPU work with zero intermediate HBM traffic.  Each tile also
+converges independently: a quiet tile exits its while_loop after its own
+max sub-step count, not the global one.
+
+Constraints (checked by ``pallas_advance_available``):
+ - the wind sampler must be an elementwise jnp closure (constant/analytic
+   winds; gridded `map_coordinates` winds fall back to the XLA path),
+ - semantics match `integrate_to` exactly (same controller constants), so
+   the two paths are interchangeable and cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rhs import RHSConsts, TermFlags, rhs_core_2d
+from .tsit5 import (_A21, _A31, _A32, _A41, _A42, _A43, _A51, _A52, _A53,
+                    _A54, _A61, _A62, _A63, _A64, _A65, _B1, _B2, _B3, _B4,
+                    _B5, _B6, _BT1, _BT2, _BT3, _BT4, _BT5, _BT6, _BT7, _C,
+                    _ORDER, _QMAX, _QMIN, _SAFETY, SolverConfig)
+
+
+class PallasAdvanceResult(NamedTuple):
+    lne: jnp.ndarray
+    cgx: jnp.ndarray
+    cgy: jnp.ndarray
+    x: jnp.ndarray
+    y: jnp.ndarray
+    t: jnp.ndarray
+    dt: jnp.ndarray
+    failed: jnp.ndarray
+    naccept: jnp.ndarray
+
+
+def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
+                    config: SolverConfig, DT: float,
+                    # refs:
+                    lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref, dt_ref,
+                    act_ref, nx_ref, ny_ref, m00_ref, m01_ref, m10_ref,
+                    m11_ref, pc_ref,
+                    lne_o, cgx_o, cgy_o, x_o, y_o, t_o, dt_o, fail_o, nacc_o):
+    lne0, cgx0, cgy0 = lne_ref[:], cgx_ref[:], cgy_ref[:]
+    px0, py0 = x_ref[:], y_ref[:]
+    t0, dt0 = t_ref[:], dt_ref[:]
+    active = act_ref[:] != 0
+    xn, yn = nx_ref[:], ny_ref[:]
+    m00, m01, m10, m11 = m00_ref[:], m01_ref[:], m10_ref[:], m11_ref[:]
+    pc = pc_ref[:]
+
+    t_end = t0 + DT
+
+    def rhs(t, lne, cgx, cgy):
+        u = u_wind(xn, yn, t)
+        v = v_wind(xn, yn, t)
+        u = jnp.broadcast_to(jnp.asarray(u, lne.dtype), lne.shape)
+        v = jnp.broadcast_to(jnp.asarray(v, lne.dtype), lne.shape)
+        return rhs_core_2d(lne, cgx, cgy, u, v, m00, m01, m10, m11, pc,
+                           consts, flags)
+
+    zeros_i = jnp.zeros_like(t0, dtype=jnp.int32)
+    # Mosaic cannot carry vector-of-bool through a while_loop: track
+    # done/failed as int32 masks inside the kernel.
+    done0 = ((~active) | (t0 >= t_end)).astype(jnp.int32)
+    k1_0 = rhs(t0, lne0, cgx0, cgy0)
+
+    def cond(c):
+        (lne, cgx, cgy, px, py, t, dt, k1, done, failed, nacc, iters) = c
+        return (~jnp.all(done != 0)) & (iters < config.maxiters)
+
+    def body(c):
+        (lne, cgx, cgy, px, py, t, dt, k1, done_i, failed_i, nacc, iters) = c
+        done = done_i != 0
+        failed = failed_i != 0
+        live = ~done
+        remaining = t_end - t
+        dt_try = jnp.clip(dt, config.dtmin,
+                          jnp.maximum(remaining, config.dtmin))
+        at_dtmin = dt_try <= config.dtmin * (1.0 + 1e-8)
+
+        z = (lne, cgx, cgy, px, py)
+
+        def fma(coeffs, ks):
+            # z + dt * sum(a_i k_i), componentwise over the 5 state vars
+            out = []
+            for comp in range(5):
+                acc = z[comp]
+                for a, k in zip(coeffs, ks):
+                    acc = acc + dt_try * a * k[comp]
+                out.append(acc)
+            return tuple(out)
+
+        k2 = rhs(t + _C[0] * dt_try, *fma((_A21,), (k1,))[:3])
+        k3 = rhs(t + _C[1] * dt_try, *fma((_A31, _A32), (k1, k2))[:3])
+        k4 = rhs(t + _C[2] * dt_try,
+                 *fma((_A41, _A42, _A43), (k1, k2, k3))[:3])
+        k5 = rhs(t + _C[3] * dt_try,
+                 *fma((_A51, _A52, _A53, _A54), (k1, k2, k3, k4))[:3])
+        k6 = rhs(t + dt_try,
+                 *fma((_A61, _A62, _A63, _A64, _A65),
+                      (k1, k2, k3, k4, k5))[:3])
+        z_new = fma((_B1, _B2, _B3, _B4, _B5, _B6),
+                    (k1, k2, k3, k4, k5, k6))
+        k7 = rhs(t + dt_try, *z_new[:3])
+
+        # scaled error norm over the 5 components
+        err_sq = jnp.zeros_like(t)
+        finite = jnp.ones_like(done)
+        ks = (k1, k2, k3, k4, k5, k6, k7)
+        bts = (_BT1, _BT2, _BT3, _BT4, _BT5, _BT6, _BT7)
+        for comp in range(5):
+            e = jnp.zeros_like(t)
+            for bt, k in zip(bts, ks):
+                e = e + bt * k[comp]
+            e = dt_try * e
+            sc = (config.abstol + config.reltol
+                  * jnp.maximum(jnp.abs(z[comp]), jnp.abs(z_new[comp])))
+            err_sq = err_sq + (e / sc) ** 2
+            finite = finite & jnp.isfinite(z_new[comp])
+        enorm = jnp.sqrt(err_sq / 5.0)
+        finite = finite & jnp.isfinite(enorm)
+
+        accept = (enorm <= 1.0) & finite
+        if config.force_dtmin:
+            accept = accept | at_dtmin
+        newly_failed = live & at_dtmin & ~accept
+
+        enorm_safe = jnp.maximum(enorm, 1e-10)
+        q = _SAFETY * enorm_safe ** (-1.0 / _ORDER)
+        q = jnp.where(finite, q, _QMIN)
+        factor = jnp.clip(q, _QMIN, _QMAX)
+        dt_next = jnp.where(accept, dt_try * factor,
+                            jnp.maximum(dt_try * jnp.clip(q, _QMIN, 1.0),
+                                        config.dtmin))
+
+        upd = live & accept
+        t_new = jnp.where(upd, t + dt_try, t)
+        out = tuple(jnp.where(upd, zn, zo) for zn, zo in zip(z_new, z))
+        dt_out = jnp.where(live, dt_next, dt)
+        k1_out = tuple(jnp.where(upd, kn, ko) for kn, ko in zip(k7, k1))
+        done_new = done | (live & (t_new >= t_end - 1e-9)) | newly_failed
+
+        return (out[0], out[1], out[2], out[3], out[4], t_new, dt_out,
+                k1_out, done_new.astype(jnp.int32),
+                (failed | newly_failed).astype(jnp.int32),
+                nacc + upd.astype(jnp.int32), iters + 1)
+
+    init = (lne0, cgx0, cgy0, px0, py0, t0, dt0, k1_0, done0,
+            jnp.zeros_like(done0), zeros_i, jnp.zeros((), jnp.int32))
+    (lne, cgx, cgy, px, py, t, dt, _k1, done_i, failed_i, nacc,
+     _it) = jax.lax.while_loop(cond, body, init)
+
+    done = done_i != 0
+    failed = (failed_i != 0) | (~done & active)
+    lne_o[:] = lne
+    cgx_o[:] = cgx
+    cgy_o[:] = cgy
+    x_o[:] = px
+    y_o[:] = py
+    t_o[:] = jnp.where(active & ~failed, t_end, t)
+    dt_o[:] = dt
+    fail_o[:] = failed.astype(jnp.int32)
+    nacc_o[:] = nacc
+
+
+def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
+                   flags: TermFlags, config: SolverConfig, DT: float,
+                   z: jnp.ndarray, t: jnp.ndarray, dt: jnp.ndarray,
+                   active: jnp.ndarray, xn, yn, proj, pc,
+                   block_x: int = 0,
+                   interpret: bool = False) -> PallasAdvanceResult:
+    """Run the fused advance over ``[nx, ny]`` particle arrays.
+
+    z: [nx, ny, 5]; returns component arrays (see PallasAdvanceResult).
+    ``block_x = 0`` sizes the x-block automatically from a VMEM budget
+    (~45 live f32 lanes through the Tsit5 stages).
+    """
+    nx, ny = t.shape
+    if block_x <= 0:
+        vmem_budget = 8 * 1024 * 1024  # bytes, conservative half of VMEM
+        block_x = max(8, vmem_budget // (ny * 45 * 4))
+    bx = min(block_x, nx)
+    while nx % bx:  # largest divisor of nx not exceeding block_x
+        bx -= 1
+    grid = (nx // bx,)
+
+    def spec():
+        return pl.BlockSpec((bx, ny), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    ins = [z[..., 0], z[..., 1], z[..., 2], z[..., 3], z[..., 4],
+           t, dt, active.astype(jnp.int32), xn, yn,
+           proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
+           proj[..., 1, 1], pc]
+
+    f32 = jax.ShapeDtypeStruct((nx, ny), z.dtype)
+    i32 = jax.ShapeDtypeStruct((nx, ny), jnp.int32)
+    out_shape = (f32, f32, f32, f32, f32, f32, f32, i32, i32)
+
+    kernel = functools.partial(_advance_kernel, u_wind, v_wind, consts,
+                               flags, config, DT)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec() for _ in ins],
+        out_specs=tuple(spec() for _ in out_shape),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*ins)
+    (lne, cgx, cgy, px, py, t_o, dt_o, fail, nacc) = outs
+    return PallasAdvanceResult(lne=lne, cgx=cgx, cgy=cgy, x=px, y=py, t=t_o,
+                               dt=dt_o, failed=fail != 0, naccept=nacc)

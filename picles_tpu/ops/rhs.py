@@ -74,8 +74,14 @@ def H_beta(alpha, p):
 
 
 def Delta_beta(alpha):
-    """Peak-shift window 1 - 1.25 sech^2(10 (alpha - 0.85)) (reference :275)."""
-    return 1.0 - 1.25 * (1.0 / jnp.cosh(10.0 * (alpha - ALPHA_THRESH))) ** 2
+    """Peak-shift window 1 - 1.25 sech^2(10 (alpha - 0.85)) (reference :275).
+
+    sech is written via exponentials (stable for large |x|) because
+    jnp.cosh has no Pallas TPU lowering."""
+    ax = jnp.abs(10.0 * (alpha - ALPHA_THRESH))
+    e = jnp.exp(-ax)
+    sech = 2.0 * e / (1.0 + e * e)
+    return 1.0 - 1.25 * sech ** 2
 
 
 def c_g_conversions(c_bar, r_g, g):
@@ -118,6 +124,72 @@ class TermFlags:
     direction: bool = True
 
 
+class RHSConsts(NamedTuple):
+    """Scalar constants baked into the RHS (hashable, pallas-safe)."""
+
+    r_g: float
+    C_alpha: float
+    C_e: float
+    C_varphi: float
+    g: float
+    p: float
+    n: float
+    e_T: float
+
+
+def make_rhs_consts(gamma: float = 0.88, q: float = -0.25,
+                    constants: Optional[IDConstants] = None,
+                    params: Optional[ODEParameters] = None) -> RHSConsts:
+    if params is None:
+        params, constants, _ = ODEParameters.create(q=q)
+    if constants is None:
+        constants = IDConstants.create(r_g=params.r_g, q=q)
+    p_, q_, n_ = magic_fractions(q)
+    e_T = e_T_func(gamma, p_, q_, n_, c_beta=constants.c_beta,
+                   c_D=constants.c_D, c_e=constants.c_e,
+                   c_alpha=constants.c_alpha)
+    return RHSConsts(r_g=params.r_g, C_alpha=params.C_alpha, C_e=params.C_e,
+                     C_varphi=params.C_varphi, g=params.g, p=p_, n=n_,
+                     e_T=e_T)
+
+
+def rhs_core_2d(lne, cg_x, cg_y, u, v, M00, M01, M10, M11, pc,
+                c: RHSConsts, flags: TermFlags = TermFlags()):
+    """Component-wise 2D RHS — elementwise ops only, usable inside Pallas
+    kernels as well as the stacked-array wrapper.  Returns the 5 tendencies
+    (dlne, dcg_x, dcg_y, dx, dy)."""
+    c_bar = speed(cg_x, cg_y)
+    u_speed = speed(u, v)
+
+    c_gp_speed, k_p, omega_p = c_g_conversions(jnp.abs(c_bar), c.r_g, c.g)
+    c_gp_x = cg_x / c.r_g
+    c_gp_y = cg_y / c.r_g
+
+    alpha = alpha_func(u_speed, c_gp_speed)
+    a_p = alpha_p(u, v, c_gp_x, c_gp_y)
+    H_p = H_beta(a_p, c.p)
+    Delta_p = Delta_beta(a_p)
+
+    I_t = I_tilde(alpha, H_p, c.C_e) if flags.input else 0.0
+    D_t = D_tilde_lne(lne, k_p, c.e_T, c.n) if flags.dissipation else 0.0
+    S_cg_t = S_cg(lne, Delta_p, k_p, c.C_alpha) if flags.peak_shift else 0.0
+    S_dir_t = (S_dir(u, v, c_gp_x, c_gp_y, c.C_varphi, H_p)
+               if flags.direction else 0.0)
+    S_sphere_t = pc * cg_x
+
+    dlne = omega_p * c.r_g * S_cg_t + omega_p * (I_t - D_t)
+    dcg_x = -cg_x * omega_p * c.r_g * S_cg_t + cg_y * S_dir_t + cg_y * S_sphere_t
+    dcg_y = -cg_y * omega_p * c.r_g * S_cg_t - cg_x * S_dir_t - cg_x * S_sphere_t
+
+    if flags.propagation:
+        dx = M00 * cg_x + M01 * cg_y
+        dy = M10 * cg_x + M11 * cg_y
+    else:
+        dx = jnp.zeros_like(cg_x)
+        dy = jnp.zeros_like(cg_y)
+    return dlne, dcg_x, dcg_y, dx, dy
+
+
 def particle_equations(u_wind: Callable, v_wind: Callable, *,
                        gamma: float = 0.88, q: float = -0.25,
                        constants: Optional[IDConstants] = None,
@@ -132,16 +204,8 @@ def particle_equations(u_wind: Callable, v_wind: Callable, *,
     Mirrors reference particle_waves_v5.jl:479-558 (the in-place variant used
     by the models; note its dz[3] carries ``- cg_x * S_sphere``).
     """
-    if params is None:
-        params, constants, _ = ODEParameters.create(q=q)
-    if constants is None:
-        constants = IDConstants.create(r_g=params.r_g, q=q)
-    p_, q_, n_ = magic_fractions(q)
-    e_T = e_T_func(gamma, p_, q_, n_, c_beta=constants.c_beta,
-                   c_D=constants.c_D, c_e=constants.c_e,
-                   c_alpha=constants.c_alpha)
-    r_g, C_alpha, C_e, C_varphi, g = (params.r_g, params.C_alpha, params.C_e,
-                                      params.C_varphi, params.g)
+    consts = make_rhs_consts(gamma=gamma, q=q, constants=constants,
+                             params=params)
 
     def rhs(t, z, aux: RHSParams):
         lne, cg_x, cg_y = z[..., 0], z[..., 1], z[..., 2]
@@ -151,36 +215,11 @@ def particle_equations(u_wind: Callable, v_wind: Callable, *,
         u = jnp.broadcast_to(jnp.asarray(u, lne.dtype), lne.shape)
         v = jnp.broadcast_to(jnp.asarray(v, lne.dtype), lne.shape)
 
-        c_bar = speed(cg_x, cg_y)
-        u_speed = speed(u, v)
-
-        c_gp_speed, k_p, omega_p = c_g_conversions(jnp.abs(c_bar), r_g, g)
-        c_gp_x = cg_x / r_g
-        c_gp_y = cg_y / r_g
-
-        alpha = alpha_func(u_speed, c_gp_speed)
-        a_p = alpha_p(u, v, c_gp_x, c_gp_y)
-        H_p = H_beta(a_p, p_)
-        Delta_p = Delta_beta(a_p)
-
-        I_t = I_tilde(alpha, H_p, C_e) if flags.input else 0.0
-        D_t = D_tilde_lne(lne, k_p, e_T, n_) if flags.dissipation else 0.0
-        S_cg_t = S_cg(lne, Delta_p, k_p, C_alpha) if flags.peak_shift else 0.0
-        S_dir_t = (S_dir(u, v, c_gp_x, c_gp_y, C_varphi, H_p)
-                   if flags.direction else 0.0)
-        S_sphere_t = aux.pc * cg_x
-
-        dlne = omega_p * r_g * S_cg_t + omega_p * (I_t - D_t)
-        dcg_x = -cg_x * omega_p * r_g * S_cg_t + cg_y * S_dir_t + cg_y * S_sphere_t
-        dcg_y = -cg_y * omega_p * r_g * S_cg_t - cg_x * S_dir_t - cg_x * S_sphere_t
-
-        if flags.propagation:
-            dx = aux.M[..., 0, 0] * cg_x + aux.M[..., 0, 1] * cg_y
-            dy = aux.M[..., 1, 0] * cg_x + aux.M[..., 1, 1] * cg_y
-        else:
-            dx = jnp.zeros_like(cg_x)
-            dy = jnp.zeros_like(cg_y)
-
+        dlne, dcg_x, dcg_y, dx, dy = rhs_core_2d(
+            lne, cg_x, cg_y, u, v,
+            aux.M[..., 0, 0], aux.M[..., 0, 1],
+            aux.M[..., 1, 0], aux.M[..., 1, 1],
+            aux.pc, consts, flags)
         return jnp.stack([dlne, dcg_x, dcg_y, dx, dy], axis=-1)
 
     return rhs

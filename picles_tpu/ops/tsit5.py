@@ -80,10 +80,16 @@ def _error_norm(err, z0, z1, abstol, reltol):
     return jnp.sqrt(jnp.mean((err / sc) ** 2, axis=-1))
 
 
-def tsit5_step(rhs: Callable, t, z, dt, aux) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One Tsit5 step for all lanes: returns (z_new, error_estimate)."""
+def tsit5_step(rhs: Callable, t, z, dt, aux,
+               k1=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One Tsit5 step for all lanes: returns (z_new, error_estimate, k7).
+
+    Tsit5 is FSAL: ``k7 = rhs(t+dt, z_new)`` doubles as the next step's
+    ``k1``, so callers that carry it save one RHS eval per substep.
+    """
     dt_ = dt[..., None]
-    k1 = rhs(t, z, aux)
+    if k1 is None:
+        k1 = rhs(t, z, aux)
     k2 = rhs(t + _C[0] * dt, z + dt_ * (_A21 * k1), aux)
     k3 = rhs(t + _C[1] * dt, z + dt_ * (_A31 * k1 + _A32 * k2), aux)
     k4 = rhs(t + _C[2] * dt, z + dt_ * (_A41 * k1 + _A42 * k2 + _A43 * k3), aux)
@@ -97,7 +103,7 @@ def tsit5_step(rhs: Callable, t, z, dt, aux) -> Tuple[jnp.ndarray, jnp.ndarray]:
     k7 = rhs(t + dt, z_new, aux)
     err = dt_ * (_BT1 * k1 + _BT2 * k2 + _BT3 * k3 + _BT4 * k4 + _BT5 * k5
                  + _BT6 * k6 + _BT7 * k7)
-    return z_new, err
+    return z_new, err, k7
 
 
 def auto_dt(rhs: Callable, t, z, aux, *, abstol: float = 1e-4,
@@ -145,6 +151,7 @@ def integrate_to(rhs: Callable, z0: jnp.ndarray, t0: jnp.ndarray,
         z: jnp.ndarray
         t: jnp.ndarray
         dt: jnp.ndarray
+        k1: jnp.ndarray  # FSAL: rhs(t, z), valid for the current (t, z)
         done: jnp.ndarray
         failed: jnp.ndarray
         naccept: jnp.ndarray
@@ -152,7 +159,7 @@ def integrate_to(rhs: Callable, z0: jnp.ndarray, t0: jnp.ndarray,
         iters: jnp.ndarray  # scalar loop counter
 
     done0 = (~active) | (t0 >= t_end)
-    carry0 = Carry(z=z0, t=t0, dt=dt0, done=done0,
+    carry0 = Carry(z=z0, t=t0, dt=dt0, k1=rhs(t0, z0, aux), done=done0,
                    failed=jnp.zeros_like(done0), naccept=zeros_i,
                    nreject=zeros_i, iters=jnp.zeros((), jnp.int32))
 
@@ -167,7 +174,7 @@ def integrate_to(rhs: Callable, z0: jnp.ndarray, t0: jnp.ndarray,
         dt_try = jnp.clip(c.dt, config.dtmin, jnp.maximum(remaining, config.dtmin))
         at_dtmin = dt_try <= config.dtmin * (1.0 + 1e-8)
 
-        z_new, err = tsit5_step(rhs, c.t, c.z, dt_try, aux)
+        z_new, err, k7 = tsit5_step(rhs, c.t, c.z, dt_try, aux, k1=c.k1)
         enorm = _error_norm(err, c.z, z_new, config.abstol, config.reltol)
         finite = jnp.all(jnp.isfinite(z_new), axis=-1) & jnp.isfinite(enorm)
 
@@ -189,9 +196,10 @@ def integrate_to(rhs: Callable, z0: jnp.ndarray, t0: jnp.ndarray,
         t_new = jnp.where(do_update, c.t + dt_try, c.t)
         z_out = jnp.where(do_update[..., None], z_new, c.z)
         dt_out = jnp.where(live, dt_next, c.dt)
+        k1_out = jnp.where(do_update[..., None], k7, c.k1)
         done_new = c.done | (live & (t_new >= t_end - 1e-9)) | newly_failed
 
-        return Carry(z=z_out, t=t_new, dt=dt_out, done=done_new,
+        return Carry(z=z_out, t=t_new, dt=dt_out, k1=k1_out, done=done_new,
                      failed=c.failed | newly_failed,
                      naccept=c.naccept + do_update.astype(jnp.int32),
                      nreject=c.nreject + (live & ~accept).astype(jnp.int32),
