@@ -18,7 +18,7 @@ import time
 BASELINE_PUSHES_PER_S = 5.0e4  # BASELINE.md derived reference throughput
 
 
-def build(nx, ny):
+def build(nx, ny, advance_mode="pallas"):
     from picles_tpu.core import fetch_relations as FR
     from picles_tpu.core.constants import ODESettings
     from picles_tpu.forcing.winds import constant_winds
@@ -34,7 +34,7 @@ def build(nx, ny):
     grid = cartesian_box(100e3, nx, 100e3, ny, periodic_boundary=(True, True))
     return WaveGrowth2D(grid, constant_winds(10.0, 10.0), sett,
                         config=WaveGrowth2DConfig(periodic_boundary=True,
-                                                  advance_mode="pallas"))
+                                                  advance_mode=advance_mode))
 
 
 def bench_config(nx, ny, n_steps=30, reps=3):
