@@ -31,7 +31,10 @@ def build(nx, ny, advance_mode="pallas"):
     sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
                        timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
                        dtmin=1e-4, force_dtmin=True)
-    grid = cartesian_box(100e3, nx, 100e3, ny, periodic_boundary=(True, True))
+    # keep the reference's 2 km node spacing at every size so the CIC
+    # displacement per DT stays within the halo (Courant ~2.4 < 3)
+    grid = cartesian_box(2e3 * (nx - 1), nx, 2e3 * (ny - 1), ny,
+                         periodic_boundary=(True, True))
     return WaveGrowth2D(grid, constant_winds(10.0, 10.0), sett,
                         config=WaveGrowth2DConfig(periodic_boundary=True,
                                                   advance_mode=advance_mode))
