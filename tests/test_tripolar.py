@@ -100,6 +100,55 @@ def test_model_runs_on_tripolar_grid():
     assert e[ocean].max() > 0
 
 
+def test_tripolar_gridded_realistic_like_winds():
+    """Tripolar grid + land mask + spatially varying stored winds — the
+    T03_PIC_tripolar_realistic analog (the reference's ERA5 file is absent
+    from the snapshot; a synthetic stored wind field exercises the same
+    path: gridded interpolation sampled per node over a masked global
+    grid)."""
+    import jax.numpy as jnp
+    from picles_tpu.forcing.winds import GriddedWinds2D
+
+    grid = synthetic_tripolar_grid(k=2)
+    nx, ny = grid.nx, grid.ny
+
+    # zonal jet + time wobble stored on a coarse lon/lat/time grid
+    nt, nxa, nya = 5, 19, 13
+    lon = np.linspace(0, 360, nxa)
+    lat = np.linspace(-80, 90, nya)
+    t = np.linspace(0, 12 * 3600.0, nt)
+    T, LO, LA = np.meshgrid(t, lon, lat, indexing="ij")
+    u = 12.0 * np.exp(-((LA - 40) / 20.0) ** 2) * (1 + 0.2 * np.sin(T / 4e4))
+    v = 3.0 * np.sin(np.radians(LO)) * np.exp(-((LA - 40) / 25.0) ** 2)
+    gw = GriddedWinds2D(u_data=jnp.asarray(u, jnp.float32),
+                        v_data=jnp.asarray(v, jnp.float32),
+                        x0=0.0, dx=float(lon[1] - lon[0]),
+                        y0=float(lat[0]), dy=float(lat[1] - lat[0]),
+                        t0=0.0, dt=float(t[1] - t[0]))
+
+    DT = 1200.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    model = WaveGrowth2D(grid, gw.as_winds(), sett,
+                         config=WaveGrowth2DConfig(periodic_boundary=True,
+                                                   halo=3))
+    ms = model.init_state()
+    step = jax.jit(model.step)
+    for _ in range(6):
+        ms = step(ms)
+    e = np.asarray(ms.state[..., 0])
+    mask = np.asarray(grid.mask)
+    assert np.all(np.isfinite(e))
+    assert int(ms.metrics.n_failed) == 0
+    # energy concentrated in the jet band, zero on land
+    lat_nodes = np.asarray(grid.y)
+    jet = (lat_nodes > 20) & (lat_nodes < 55) & (mask == 1)
+    calm = (lat_nodes < -40) & (mask == 1)
+    assert e[jet].mean() > 10 * max(e[calm].mean(), 1e-12)
+
+
 def test_seam_crossing_in_model():
     """A northward swell blob at the top interior crosses the seam and
     reappears at the mirrored x position (T03_PIC_tripolar_seam_remap
