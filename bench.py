@@ -35,9 +35,11 @@ def build(nx, ny, advance_mode="pallas"):
     # displacement per DT stays within the halo (Courant ~2.4 < 3)
     grid = cartesian_box(2e3 * (nx - 1), nx, 2e3 * (ny - 1), ny,
                          periodic_boundary=(True, True))
+    scatter_mode = "dense_pallas" if advance_mode == "pallas" else "dense"
     return WaveGrowth2D(grid, constant_winds(10.0, 10.0), sett,
                         config=WaveGrowth2DConfig(periodic_boundary=True,
-                                                  advance_mode=advance_mode))
+                                                  advance_mode=advance_mode,
+                                                  scatter_mode=scatter_mode))
 
 
 def bench_config(nx, ny, n_steps=30, reps=3):

@@ -279,7 +279,8 @@ class WaveGrowth2D:
         charge = jnp.stack([e, mx, my], axis=-1)
         if scatter_fn is None:
             S, sc_stats = pic.scatter(z[..., 3], z[..., 4], charge, scatter_on,
-                                      grid.stats, cfg.halo, cfg.scatter_mode)
+                                      grid.stats, cfg.halo, cfg.scatter_mode,
+                                      interpret=cfg.pallas_interpret)
         else:
             S, sc_stats = scatter_fn(z[..., 3], z[..., 4], charge, scatter_on)
 

@@ -213,9 +213,16 @@ def scatter_xla(xrel: jnp.ndarray, yrel: jnp.ndarray, charge: jnp.ndarray,
 
 
 def scatter(xrel, yrel, charge, active, stats: GridStats, halo: int,
-            mode: str = "dense"):
+            mode: str = "dense", interpret: bool = False):
     if mode == "dense":
         return scatter_dense(xrel, yrel, charge, active, stats, halo)
+    if mode == "dense_pallas":
+        from .pic_pallas import scatter_accumulate_padded_pallas
+
+        P, st = scatter_accumulate_padded_pallas(xrel, yrel, charge, active,
+                                                 halo, interpret=interpret)
+        Q = fold_padded_x(P, stats.bx, halo)
+        return fold_padded_y(Q, stats.by, halo), st
     if mode == "xla":
         return scatter_xla(xrel, yrel, charge, active, stats, halo)
     raise ValueError(f"unknown scatter mode {mode!r}")

@@ -1,0 +1,78 @@
+"""Pallas CIC accumulate kernel vs the XLA pad-and-fold path (interpret
+mode on CPU; the same kernel compiles via Mosaic on TPU — see bench)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from picles_tpu.grids.base import Boundary, GridStats
+from picles_tpu.ops import pic
+from picles_tpu.ops.pic_pallas import scatter_accumulate_padded_pallas
+
+
+@pytest.mark.parametrize("nx,ny,halo,bx", [(20, 16, 3, 8), (51, 51, 3, 16),
+                                           (33, 200, 4, 64), (64, 24, 2, 32)])
+def test_pallas_accumulate_matches_xla(nx, ny, halo, bx):
+    rng = np.random.default_rng(nx + ny)
+    xr = jnp.asarray(rng.uniform(-halo + 0.5, halo - 0.5, (nx, ny)), jnp.float32)
+    yr = jnp.asarray(rng.uniform(-halo + 0.5, halo - 0.5, (nx, ny)), jnp.float32)
+    ch = jnp.asarray(rng.uniform(0, 1, (nx, ny, 3)), jnp.float32)
+    act = jnp.asarray(rng.uniform(0, 1, (nx, ny)) > 0.3)
+    P1, s1 = pic.scatter_accumulate_padded(xr, yr, ch, act, halo)
+    P2, s2 = scatter_accumulate_padded_pallas(xr, yr, ch, act, halo,
+                                              interpret=True, block_x=bx)
+    np.testing.assert_allclose(np.asarray(P1), np.asarray(P2), rtol=1e-5,
+                               atol=1e-6)
+    assert int(s1.clamped) == int(s2.clamped)
+
+
+def test_scatter_mode_dense_pallas_full_fold():
+    """Through pic.scatter with the boundary fold, all boundary families."""
+    rng = np.random.default_rng(7)
+    nx, ny, H = 18, 14, 3
+    xr = jnp.asarray(rng.uniform(-2.5, 2.5, (nx, ny)), jnp.float32)
+    yr = jnp.asarray(rng.uniform(-2.5, 2.5, (nx, ny)), jnp.float32)
+    ch = jnp.asarray(rng.uniform(0, 1, (nx, ny, 3)), jnp.float32)
+    act = jnp.ones((nx, ny), bool)
+    for bx in (Boundary.PERIODIC, Boundary.NONPERIODIC):
+        for by in (Boundary.PERIODIC, Boundary.NONPERIODIC,
+                   Boundary.TRIPOLAR_NORTH):
+            if by == Boundary.TRIPOLAR_NORTH and bx != Boundary.PERIODIC:
+                continue
+            st = GridStats(nx=nx, ny=ny, bx=bx, by=by)
+            S1, _ = pic.scatter(xr, yr, ch, act, st, H, "dense")
+            S2, _ = pic.scatter(xr, yr, ch, act, st, H, "dense_pallas",
+                                interpret=True)
+            np.testing.assert_allclose(np.asarray(S1), np.asarray(S2),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"{bx} {by}")
+
+
+def test_model_step_with_pallas_scatter():
+    from picles_tpu.core import fetch_relations as FR
+    from picles_tpu.core.constants import ODESettings
+    from picles_tpu.forcing.winds import constant_winds
+    from picles_tpu.grids.cartesian import cartesian_box
+    from picles_tpu.models.wave_growth_2d import (WaveGrowth2D,
+                                                  WaveGrowth2DConfig)
+
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(100e3, 24, 100e3, 24, periodic_boundary=(True, True))
+    m1 = WaveGrowth2D(grid, constant_winds(10.0, 5.0), sett,
+                      config=WaveGrowth2DConfig(periodic_boundary=True,
+                                                scatter_mode="dense"))
+    m2 = WaveGrowth2D(grid, constant_winds(10.0, 5.0), sett,
+                      config=WaveGrowth2DConfig(periodic_boundary=True,
+                                                scatter_mode="dense_pallas",
+                                                pallas_interpret=True))
+    s1, s2 = m1.init_state(), m2.init_state()
+    for _ in range(3):
+        s1 = m1.step(s1)
+        s2 = m2.step(s2)
+    # f32 accumulation-order differences compound through exp/log round-trips
+    np.testing.assert_allclose(np.asarray(s1.state), np.asarray(s2.state),
+                               rtol=2e-3, atol=1e-9)
