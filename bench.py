@@ -4,7 +4,14 @@ One particle-push = one full advance (adaptive ODE sub-stepping) + CIC
 scatter + remesh cycle for one particle, the same unit as the reference
 baseline (~5.0e4 pushes/s on a 4-thread laptop CPU for the 51x51 box,
 BASELINE.md).  The benchmark runs the flagship WaveGrowth2D model on a
-production-scale periodic box, steady state, scan-fused steps.
+production-scale periodic box, steady state, scan-fused steps, with the
+production config: fused Pallas advance/deposit kernels and warm-restart
+dt policy (validated against the reference-semantics auto_dt path to
+within solver tolerance, tests/test_model_2d.py).
+
+Timing: the tunneled TPU platform has a large fixed host<->device sync
+latency, so the per-step time is measured as a difference of two scan
+lengths (fixed overhead cancels) with a value fetch as the sync point.
 
 Prints exactly one JSON line:
   {"metric": "particle_pushes_per_s", "value": ..., "unit": "pushes/s",
@@ -18,7 +25,7 @@ import time
 BASELINE_PUSHES_PER_S = 5.0e4  # BASELINE.md derived reference throughput
 
 
-def build(nx, ny, advance_mode="pallas"):
+def build(nx, ny, advance_mode="pallas", dt_reset_mode="carry"):
     from picles_tpu.core import fetch_relations as FR
     from picles_tpu.core.constants import ODESettings
     from picles_tpu.forcing.winds import constant_winds
@@ -39,30 +46,48 @@ def build(nx, ny, advance_mode="pallas"):
     return WaveGrowth2D(grid, constant_winds(10.0, 10.0), sett,
                         config=WaveGrowth2DConfig(periodic_boundary=True,
                                                   advance_mode=advance_mode,
-                                                  scatter_mode=scatter_mode))
+                                                  scatter_mode=scatter_mode,
+                                                  dt_reset_mode=dt_reset_mode))
 
 
-def bench_config(nx, ny, n_steps=30, reps=3):
+def bench_config(nx, ny, n_small=None, n_big=None, reps=3):
     import jax
+
+    if n_small is None:
+        # small grids step in ~0.1 ms; use enough steps that the scan-length
+        # difference dominates the host<->device sync noise
+        n_small, n_big = (50, 550) if nx * ny < 200_000 else (10, 40)
 
     model = build(nx, ny)
     ms = model.init_state()
 
-    step_n = jax.jit(model.step_n, static_argnums=1)
+    def run_n(ms, n):
+        def body(c, _):
+            return model.step(c), None
+        out, _ = jax.lax.scan(body, ms, None, length=n)
+        return out
 
-    # spin-up: reach steady-state substep counts + compile
-    ms, _ = step_n(ms, 4)
-    jax.block_until_ready(ms.state)
-    step_n(ms, n_steps)  # compile + warm the measured computation
+    run_jit = jax.jit(run_n, static_argnums=1)
 
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out, _ = step_n(ms, n_steps)
-        jax.block_until_ready(out.state)
-        best = min(best, time.perf_counter() - t0)
-    pushes = nx * ny * n_steps
-    return pushes / best, best / n_steps
+    # spin-up to steady state + compile both scan lengths
+    ms = run_jit(ms, 4)
+    _ = float(ms.state[0, 0, 0])
+    for n in (n_small, n_big):
+        _ = float(run_jit(ms, n).state[0, 0, 0])
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = run_jit(ms, n)
+            _ = float(out.state[0, 0, 0])  # true sync on this platform
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_small, t_big = timed(n_small), timed(n_big)
+    s_per_step = max((t_big - t_small) / (n_big - n_small), 1e-9)
+    pushes = nx * ny
+    return pushes / s_per_step, s_per_step
 
 
 def main():

@@ -175,6 +175,93 @@ def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
     nacc_o[:] = nacc
 
 
+def _auto_dt_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
+                    abstol: float, reltol: float, order: float, max_dt: float,
+                    lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref,
+                    nx_ref, ny_ref, m00_ref, m01_ref, m10_ref, m11_ref,
+                    pc_ref, out_ref):
+    lne, cgx, cgy = lne_ref[:], cgx_ref[:], cgy_ref[:]
+    px, py = x_ref[:], y_ref[:]
+    t = t_ref[:]
+    xn, yn = nx_ref[:], ny_ref[:]
+    m00, m01, m10, m11 = m00_ref[:], m01_ref[:], m10_ref[:], m11_ref[:]
+    pc = pc_ref[:]
+
+    def rhs(tt, a, b, c):
+        u = u_wind(xn, yn, tt)
+        v = v_wind(xn, yn, tt)
+        u = jnp.broadcast_to(jnp.asarray(u, a.dtype), a.shape)
+        v = jnp.broadcast_to(jnp.asarray(v, a.dtype), a.shape)
+        return rhs_core_2d(a, b, c, u, v, m00, m01, m10, m11, pc,
+                           consts, flags)
+
+    tiny = jnp.asarray(1e-10, lne.dtype)
+    z = (lne, cgx, cgy, px, py)
+    sc = tuple(abstol + jnp.abs(zi) * reltol for zi in z)
+    f0 = rhs(t, lne, cgx, cgy)
+
+    def norm(vs):
+        s = jnp.zeros_like(t)
+        for vi, sci in zip(vs, sc):
+            s = s + (vi / sci) ** 2
+        return jnp.sqrt(s / 5.0)
+
+    d0 = norm(z)
+    d1 = norm(f0)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6,
+                   0.01 * d0 / jnp.maximum(d1, tiny))
+
+    z1 = tuple(zi + h0 * fi for zi, fi in zip(z, f0))
+    f1 = rhs(t + h0, z1[0], z1[1], z1[2])
+    d2 = norm(tuple(a - b for a, b in zip(f1, f0))) / jnp.maximum(h0, tiny)
+
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(dmax <= 1e-15,
+                   jnp.maximum(1e-6, h0 * 1e-3),
+                   (0.01 / jnp.maximum(dmax, tiny)) ** (1.0 / (order + 1.0)))
+    out_ref[:] = jnp.minimum(jnp.minimum(100.0 * h0, h1), max_dt)
+
+
+def auto_dt_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
+                   flags: TermFlags, t: jnp.ndarray, z: jnp.ndarray,
+                   xn, yn, proj, pc, *, abstol: float = 1e-4,
+                   reltol: float = 1e-3, order: float = 5.0,
+                   max_dt: float = 3600.0, block_x: int = 0,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Fused Hairer initial-dt estimate (semantics of ``tsit5.auto_dt``).
+
+    The XLA version round-trips ~15 intermediate arrays through HBM for its
+    two RHS evaluations; this kernel keeps everything in VMEM.  Tiled like
+    ``advance_pallas``; same wind-closure constraint.
+    """
+    nx, ny = t.shape
+    if block_x <= 0:
+        vmem_budget = 8 * 1024 * 1024
+        block_x = max(8, vmem_budget // (ny * 30 * 4))
+    bx = min(block_x, nx)
+    while nx % bx:
+        bx -= 1
+    grid = (nx // bx,)
+
+    def spec():
+        return pl.BlockSpec((bx, ny), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    ins = [z[..., 0], z[..., 1], z[..., 2], z[..., 3], z[..., 4], t,
+           xn, yn, proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
+           proj[..., 1, 1], pc]
+    kernel = functools.partial(_auto_dt_kernel, u_wind, v_wind, consts,
+                               flags, abstol, reltol, order, max_dt)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec() for _ in ins],
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((nx, ny), z.dtype),
+        interpret=interpret,
+    )(*ins)
+
+
 def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
                    flags: TermFlags, config: SolverConfig, DT: float,
                    z: jnp.ndarray, t: jnp.ndarray, dt: jnp.ndarray,

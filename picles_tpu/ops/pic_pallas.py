@@ -35,25 +35,47 @@ from .pic import ScatterStats, cic_weights
 def _accum_kernel(H: int, PADR: int, PADC: int, bp: int, bc: int,
                   fx_ref, wxf_ref, wxc_ref, fy_ref, wyf_ref, wyc_ref,
                   c0_ref, c1_ref, c2_ref, out0_ref, out1_ref, out2_ref):
-    acc0 = jnp.zeros((bp, bc), c0_ref.dtype)
-    acc1 = jnp.zeros((bp, bc), c0_ref.dtype)
-    acc2 = jnp.zeros((bp, bc), c0_ref.dtype)
+    # Loop structure chosen for TPU vector-layout cost, not FLOPs: the
+    # (2H+1)^2 window is irreducible for an exact CIC gather, but
+    # lane-direction (column) rotations are far more expensive than
+    # sublane (row) shifts.  So all column slicing is hoisted to one
+    # rotate per dy of the dx-summed partial (O(2H+1) lane rotates total,
+    # vs O((2H+1)^2) per-input rotates in the naive form); the inner
+    # (dx, dy) iteration is pure row-shift + FMA in source-column
+    # alignment.
+    fy = fy_ref[:]
+    wyf, wyc = wyf_ref[:], wyc_ref[:]
+    c0, c1, c2 = c0_ref[:], c1_ref[:], c2_ref[:]
+
+    # per-dx x-weight planes, rows pre-sliced to the output range,
+    # full (source-aligned) columns
+    WX = []
     for dx in range(-H, H + 1):
         rs = PADR - dx
         sub_fx = fx_ref[rs:rs + bp, :]
-        wx = (jnp.where(sub_fx == dx, wxf_ref[rs:rs + bp, :], 0.0)
-              + jnp.where(sub_fx == dx - 1, wxc_ref[rs:rs + bp, :], 0.0))
-        for dy in range(-H, H + 1):
-            cs = PADC - dy
-            sub_fy = fy_ref[rs:rs + bp, cs:cs + bc]
-            wy = (jnp.where(sub_fy == dy, wyf_ref[rs:rs + bp, cs:cs + bc],
-                            0.0)
-                  + jnp.where(sub_fy == dy - 1,
-                              wyc_ref[rs:rs + bp, cs:cs + bc], 0.0))
-            w = wx[:, cs:cs + bc] * wy
-            acc0 = acc0 + w * c0_ref[rs:rs + bp, cs:cs + bc]
-            acc1 = acc1 + w * c1_ref[rs:rs + bp, cs:cs + bc]
-            acc2 = acc2 + w * c2_ref[rs:rs + bp, cs:cs + bc]
+        WX.append(jnp.where(sub_fx == dx, wxf_ref[rs:rs + bp, :], 0.0)
+                  + jnp.where(sub_fx == dx - 1, wxc_ref[rs:rs + bp, :], 0.0))
+
+    acc0 = jnp.zeros((bp, bc), c0_ref.dtype)
+    acc1 = jnp.zeros((bp, bc), c0_ref.dtype)
+    acc2 = jnp.zeros((bp, bc), c0_ref.dtype)
+    for dy in range(-H, H + 1):
+        wy = (jnp.where(fy == dy, wyf, 0.0)
+              + jnp.where(fy == dy - 1, wyc, 0.0))
+        q0, q1, q2 = wy * c0, wy * c1, wy * c2
+        a0 = jnp.zeros_like(WX[0])
+        a1 = jnp.zeros_like(WX[0])
+        a2 = jnp.zeros_like(WX[0])
+        for i, dx in enumerate(range(-H, H + 1)):
+            rs = PADR - dx
+            wx = WX[i]
+            a0 = a0 + wx * q0[rs:rs + bp, :]
+            a1 = a1 + wx * q1[rs:rs + bp, :]
+            a2 = a2 + wx * q2[rs:rs + bp, :]
+        cs = PADC - dy
+        acc0 = acc0 + a0[:, cs:cs + bc]
+        acc1 = acc1 + a1[:, cs:cs + bc]
+        acc2 = acc2 + a2[:, cs:cs + bc]
     out0_ref[:] = acc0
     out1_ref[:] = acc1
     out2_ref[:] = acc2

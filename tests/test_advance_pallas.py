@@ -61,3 +61,27 @@ def test_pallas_block_divisor_handling():
     sp = mp.init_state()
     sp = mp.step(sp)
     assert np.all(np.isfinite(np.asarray(sp.state)))
+
+
+def test_auto_dt_pallas_matches_xla():
+    """Fused auto_dt kernel vs tsit5.auto_dt on the same particle state."""
+    from picles_tpu.ops.advance_pallas import auto_dt_pallas
+    from picles_tpu.ops.rhs import RHSParams, make_rhs_consts
+    from picles_tpu.ops.tsit5 import auto_dt
+
+    mx, _ = _models(constant_winds(10.0, 5.0), n=24)
+    ms = mx.init_state()
+    for _ in range(2):
+        ms = mx.step(ms)
+    g = mx.grid
+    aux = RHSParams(x=g.x, y=g.y, M=g.proj, pc=g.pc)
+    d_xla = auto_dt(mx.rhs, ms.particles.t, ms.particles.z, aux,
+                    abstol=mx.settings.abstol, reltol=mx.settings.reltol)
+    consts = make_rhs_consts(gamma=mx.constants.gamma,
+                             constants=mx.constants, params=mx.params)
+    d_pl = auto_dt_pallas(mx.winds.u, mx.winds.v, consts, mx.flags,
+                          ms.particles.t, ms.particles.z, g.x, g.y,
+                          g.proj, g.pc, abstol=mx.settings.abstol,
+                          reltol=mx.settings.reltol, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_xla),
+                               rtol=1e-4, atol=1e-8)

@@ -190,3 +190,35 @@ def test_step_n_scan_matches_loop():
     np.testing.assert_allclose(np.asarray(ms_scan.state),
                                np.asarray(ms_loop.state), rtol=1e-6)
     assert states.shape[0] == 4
+
+
+def test_dt_carry_mode_matches_auto():
+    """Warm-restart dt policy stays within solver tolerance of the
+    reference-semantics auto_dt path (and uses fewer substeps)."""
+    import jax
+
+    from picles_tpu.forcing.winds import time_cosine_winds
+
+    def build(mode, winds):
+        DT = 600.0
+        ws = FR.MinimalWindsea(10.0, 10.0, DT)
+        sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                           timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                           dtmin=1e-4, force_dtmin=True)
+        grid = cartesian_box(100e3, 21, 100e3, 21,
+                             periodic_boundary=(True, True))
+        return WaveGrowth2D(grid, winds, sett,
+                            config=WaveGrowth2DConfig(periodic_boundary=True,
+                                                      dt_reset_mode=mode))
+
+    winds = time_cosine_winds(10.0, 0.0, period=6 * 3600.0)
+    ma, mc = build("auto", winds), build("carry", winds)
+    sa, sc = ma.init_state(), mc.init_state()
+    fa, fc = jax.jit(ma.step), jax.jit(mc.step)
+    for _ in range(10):
+        sa, sc = fa(sa), fc(sc)
+    a, c = np.asarray(sa.state), np.asarray(sc.state)
+    denom = np.abs(a).max(axis=(0, 1), keepdims=True) + 1e-12
+    assert np.max(np.abs(a - c) / denom) < 5e-3
+    assert int(sc.metrics.substeps_max) <= int(sa.metrics.substeps_max)
+    assert int(sc.metrics.n_failed) == 0
