@@ -91,13 +91,24 @@ def bench_config(nx, ny, n_small=None, n_big=None, reps=3):
 
 
 def main():
+    import jax
+
+    # persist compiled executables across runs (compile dominates wall time)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/picles_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     nx = ny = int(sys.argv[1]) if len(sys.argv) > 1 else 768
     pushes_per_s, s_per_step = bench_config(nx, ny)
-    # reference-config number for the log
-    small_pps, small_spstep = bench_config(51, 51)
-    print(f"[bench] {nx}x{ny}: {pushes_per_s:.3e} pushes/s "
-          f"({s_per_step*1e3:.2f} ms/step); 51x51: {small_pps:.3e} pushes/s "
-          f"({small_spstep*1e3:.2f} ms/step)", file=sys.stderr)
+    msg = (f"[bench] {nx}x{ny}: {pushes_per_s:.3e} pushes/s "
+           f"({s_per_step*1e3:.2f} ms/step)")
+    if "--small" in sys.argv:  # also time the reference's 51x51 config
+        small_pps, small_spstep = bench_config(51, 51)
+        msg += f"; 51x51: {small_pps:.3e} pushes/s ({small_spstep*1e3:.2f} ms/step)"
+    print(msg, file=sys.stderr)
     print(json.dumps({
         "metric": "particle_pushes_per_s",
         "value": round(pushes_per_s, 1),

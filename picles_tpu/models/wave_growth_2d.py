@@ -131,6 +131,17 @@ class WaveGrowth2D:
         self.boundary_mask = grid.boundary_point_mask(config.periodic_boundary)
         self.aux = RHSParams(x=grid.x, y=grid.y, M=grid.proj, pc=grid.pc)
 
+        # spatially uniform projection/great-circle coefficient (regular
+        # Cartesian boxes): bake as scalars into the pallas kernels
+        pj = np.asarray(grid.proj).reshape(-1, 4)
+        pcn = np.asarray(grid.pc).reshape(-1)
+        if (np.all(pj == pj[0]) and np.all(pcn == pcn[0])):
+            self.uniform_proj: Optional[Tuple[float, ...]] = (
+                float(pj[0, 0]), float(pj[0, 1]), float(pj[0, 2]),
+                float(pj[0, 3]), float(pcn[0]))
+        else:
+            self.uniform_proj = None
+
         if config.ode_init_type == "mininmal":
             # reference WaveGrowthModels2D.jl:228
             self.defaults: Optional[ParticleDefaults2D] = \
@@ -235,7 +246,8 @@ class WaveGrowth2D:
             pres = advance_pallas(self.winds.u, self.winds.v, consts,
                                   self.flags, self.solver,
                                   float(sett.timestep), P.z, P.t, P.dt, adv,
-                                  grid.x, grid.y, grid.proj, grid.pc,
+                                  grid.x, grid.y,
+                                  self.uniform_proj or grid.proj, grid.pc,
                                   block_x=cfg.pallas_block_x,
                                   interpret=cfg.pallas_interpret)
             res_z = jnp.stack([pres.lne, pres.cgx, pres.cgy, pres.x, pres.y],
@@ -332,7 +344,7 @@ class WaveGrowth2D:
                                      params=self.params)
             dt_auto = auto_dt_pallas(self.winds.u, self.winds.v, consts,
                                      self.flags, t, z, grid.x, grid.y,
-                                     grid.proj, grid.pc,
+                                     self.uniform_proj or grid.proj, grid.pc,
                                      abstol=sett.abstol, reltol=sett.reltol,
                                      block_x=cfg.pallas_block_x,
                                      interpret=cfg.pallas_interpret)

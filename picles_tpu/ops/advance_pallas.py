@@ -46,19 +46,28 @@ class PallasAdvanceResult(NamedTuple):
 
 
 def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
-                    config: SolverConfig, DT: float,
+                    config: SolverConfig, DT: float, uniform,
                     # refs:
-                    lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref, dt_ref,
-                    act_ref, nx_ref, ny_ref, m00_ref, m01_ref, m10_ref,
-                    m11_ref, pc_ref,
-                    lne_o, cgx_o, cgy_o, x_o, y_o, t_o, dt_o, fail_o, nacc_o):
+                    *refs):
+    if uniform is None:
+        (lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref, dt_ref,
+         act_ref, nx_ref, ny_ref, m00_ref, m01_ref, m10_ref, m11_ref,
+         pc_ref, lne_o, cgx_o, cgy_o, x_o, y_o, t_o, dt_o, fail_o,
+         nacc_o) = refs
+        m00, m01, m10, m11 = m00_ref[:], m01_ref[:], m10_ref[:], m11_ref[:]
+        pc = pc_ref[:]
+    else:
+        # uniform grid: projection matrix + great-circle coefficient are
+        # spatially constant — baked in as scalars, 5 fewer HBM streams
+        (lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref, dt_ref,
+         act_ref, nx_ref, ny_ref, lne_o, cgx_o, cgy_o, x_o, y_o, t_o,
+         dt_o, fail_o, nacc_o) = refs
+        m00, m01, m10, m11, pc = uniform
     lne0, cgx0, cgy0 = lne_ref[:], cgx_ref[:], cgy_ref[:]
     px0, py0 = x_ref[:], y_ref[:]
     t0, dt0 = t_ref[:], dt_ref[:]
     active = act_ref[:] != 0
     xn, yn = nx_ref[:], ny_ref[:]
-    m00, m01, m10, m11 = m00_ref[:], m01_ref[:], m10_ref[:], m11_ref[:]
-    pc = pc_ref[:]
 
     t_end = t0 + DT
 
@@ -177,15 +186,20 @@ def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
 
 def _auto_dt_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
                     abstol: float, reltol: float, order: float, max_dt: float,
-                    lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref,
-                    nx_ref, ny_ref, m00_ref, m01_ref, m10_ref, m11_ref,
-                    pc_ref, out_ref):
+                    uniform, *refs):
+    if uniform is None:
+        (lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref, nx_ref, ny_ref,
+         m00_ref, m01_ref, m10_ref, m11_ref, pc_ref, out_ref) = refs
+        m00, m01, m10, m11 = m00_ref[:], m01_ref[:], m10_ref[:], m11_ref[:]
+        pc = pc_ref[:]
+    else:
+        (lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref, nx_ref, ny_ref,
+         out_ref) = refs
+        m00, m01, m10, m11, pc = uniform
     lne, cgx, cgy = lne_ref[:], cgx_ref[:], cgy_ref[:]
     px, py = x_ref[:], y_ref[:]
     t = t_ref[:]
     xn, yn = nx_ref[:], ny_ref[:]
-    m00, m01, m10, m11 = m00_ref[:], m01_ref[:], m10_ref[:], m11_ref[:]
-    pc = pc_ref[:]
 
     def rhs(tt, a, b, c):
         u = u_wind(xn, yn, tt)
@@ -247,11 +261,13 @@ def auto_dt_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
         return pl.BlockSpec((bx, ny), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    ins = [z[..., 0], z[..., 1], z[..., 2], z[..., 3], z[..., 4], t,
-           xn, yn, proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
-           proj[..., 1, 1], pc]
+    uniform = proj if isinstance(proj, tuple) else None
+    ins = [z[..., 0], z[..., 1], z[..., 2], z[..., 3], z[..., 4], t, xn, yn]
+    if uniform is None:
+        ins += [proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
+                proj[..., 1, 1], pc]
     kernel = functools.partial(_auto_dt_kernel, u_wind, v_wind, consts,
-                               flags, abstol, reltol, order, max_dt)
+                               flags, abstol, reltol, order, max_dt, uniform)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -287,17 +303,21 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
         return pl.BlockSpec((bx, ny), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
+    # tuple proj = (m00, m01, m10, m11, pc) python floats for spatially
+    # uniform grids: 5 fewer HBM input streams
+    uniform = proj if isinstance(proj, tuple) else None
     ins = [z[..., 0], z[..., 1], z[..., 2], z[..., 3], z[..., 4],
-           t, dt, active.astype(jnp.int32), xn, yn,
-           proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
-           proj[..., 1, 1], pc]
+           t, dt, active.astype(jnp.int32), xn, yn]
+    if uniform is None:
+        ins += [proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
+                proj[..., 1, 1], pc]
 
     f32 = jax.ShapeDtypeStruct((nx, ny), z.dtype)
     i32 = jax.ShapeDtypeStruct((nx, ny), jnp.int32)
     out_shape = (f32, f32, f32, f32, f32, f32, f32, i32, i32)
 
     kernel = functools.partial(_advance_kernel, u_wind, v_wind, consts,
-                               flags, config, DT)
+                               flags, config, DT, uniform)
     outs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -29,12 +29,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pic import ScatterStats, cic_weights
+from .pic import ScatterStats
 
 
 def _accum_kernel(H: int, PADR: int, PADC: int, bp: int, bc: int,
-                  fx_ref, wxf_ref, wxc_ref, fy_ref, wyf_ref, wyc_ref,
-                  c0_ref, c1_ref, c2_ref, out0_ref, out1_ref, out2_ref):
+                  xr_ref, yr_ref, c0_ref, c1_ref, c2_ref,
+                  out0_ref, out1_ref, out2_ref):
     # Loop structure chosen for TPU vector-layout cost, not FLOPs: the
     # (2H+1)^2 window is irreducible for an exact CIC gather, but
     # lane-direction (column) rotations are far more expensive than
@@ -42,9 +42,21 @@ def _accum_kernel(H: int, PADR: int, PADC: int, bp: int, bc: int,
     # rotate per dy of the dx-summed partial (O(2H+1) lane rotates total,
     # vs O((2H+1)^2) per-input rotates in the naive form); the inner
     # (dx, dy) iteration is pure row-shift + FMA in source-column
-    # alignment.
-    fy = fy_ref[:]
-    wyf, wyc = wyf_ref[:], wyc_ref[:]
+    # alignment.  CIC floor/weights are recomputed in VMEM from the two
+    # position planes — 4 fewer HBM input streams than shipping
+    # (fx, wxf, wxc, fy, wyf, wyc) precomputed.
+    dtype = c0_ref.dtype
+    lim_lo, lim_hi = -float(H), float(H) - 1e-5
+    px = jnp.clip(xr_ref[:], lim_lo, lim_hi)
+    fxf = jnp.floor(px)
+    fx = fxf.astype(jnp.int32)
+    wxc = px - fxf
+    wxf = 1.0 - wxc
+    py = jnp.clip(yr_ref[:], lim_lo, lim_hi)
+    fyf = jnp.floor(py)
+    fy = fyf.astype(jnp.int32)
+    wyc = py - fyf
+    wyf = 1.0 - wyc
     c0, c1, c2 = c0_ref[:], c1_ref[:], c2_ref[:]
 
     # per-dx x-weight planes, rows pre-sliced to the output range,
@@ -52,9 +64,9 @@ def _accum_kernel(H: int, PADR: int, PADC: int, bp: int, bc: int,
     WX = []
     for dx in range(-H, H + 1):
         rs = PADR - dx
-        sub_fx = fx_ref[rs:rs + bp, :]
-        WX.append(jnp.where(sub_fx == dx, wxf_ref[rs:rs + bp, :], 0.0)
-                  + jnp.where(sub_fx == dx - 1, wxc_ref[rs:rs + bp, :], 0.0))
+        sub_fx = fx[rs:rs + bp, :]
+        WX.append(jnp.where(sub_fx == dx, wxf[rs:rs + bp, :], 0.0)
+                  + jnp.where(sub_fx == dx - 1, wxc[rs:rs + bp, :], 0.0))
 
     acc0 = jnp.zeros((bp, bc), c0_ref.dtype)
     acc1 = jnp.zeros((bp, bc), c0_ref.dtype)
@@ -94,11 +106,11 @@ def scatter_accumulate_padded_pallas(
     H = halo
     PADR = ((H + 3) // 4) * 4  # >= H and 2*PADR % 8 == 0
 
-    fx, wxf, wxc, cx_cl = cic_weights(xrel, H)
-    fy, wyf, wyc, cy_cl = cic_weights(yrel, H)
+    lim_lo, lim_hi = -float(H), float(H) - 1e-5
+    clamped = jnp.sum(((xrel < lim_lo) | (xrel > lim_hi)
+                       | (yrel < lim_lo) | (yrel > lim_hi)) & active)
     act = active.astype(charge.dtype)
     ch = charge * act[..., None]
-    clamped = jnp.sum((cx_cl | cy_cl) & active)
 
     PADC = 64                  # 2*PADC % 128 == 0 (lane alignment)
     npx, nyp = nx + 2 * H, ny + 2 * H
@@ -112,8 +124,7 @@ def scatter_accumulate_padded_pallas(
     row_pad = (PADR + H, npx_pad + PADR - H - nx)
     col_pad = (PADC + H, nyp_pad + PADC - H - ny)
     pad = (row_pad, col_pad)
-    ins = [jnp.pad(fx, pad), jnp.pad(wxf, pad), jnp.pad(wxc, pad),
-           jnp.pad(fy, pad), jnp.pad(wyf, pad), jnp.pad(wyc, pad),
+    ins = [jnp.pad(xrel, pad), jnp.pad(yrel, pad),
            jnp.pad(ch[..., 0], pad), jnp.pad(ch[..., 1], pad),
            jnp.pad(ch[..., 2], pad)]
 
