@@ -116,6 +116,41 @@ class GriddedWinds2D:
     def as_winds(self) -> Winds2D:
         return Winds2D(u=self.u, v=self.v)
 
+    def pallas_linear_fields(self, x, y, t0, DT):
+        """Per-node linearization of the winds over one step window
+        ``[t0, t0 + DT]`` for the fused Pallas advance kernel.
+
+        Winds are sampled at the fixed node position (reference
+        particle_waves_v5.jl:488-495 — params.x/y override the advected
+        coordinates), so within a step only time varies:
+        ``u(t) = a_u + t * s_u`` per node, with the endpoint values taken
+        from the full tri-linear interpolant.  This equals the interpolant
+        exactly whenever the window does not straddle a wind-data frame
+        boundary (always true when the forcing cadence is a multiple of DT
+        and aligned, the usual configuration), and is a secant
+        approximation otherwise.
+
+        Returns ``(a_u, s_u, a_v, s_v)`` arrays shaped like ``x``.
+        """
+        t0b = jnp.broadcast_to(jnp.asarray(t0, jnp.float32), jnp.shape(x))
+        u0, v0 = self.u(x, y, t0b), self.v(x, y, t0b)
+        u1, v1 = self.u(x, y, t0b + DT), self.v(x, y, t0b + DT)
+        su = (u1 - u0) / DT
+        sv = (v1 - v0) / DT
+        return (u0 - t0b * su, su, v0 - t0b * sv, sv)
+
+
+def gridded_pallas_samplers():
+    """Kernel-side wind samplers matching ``pallas_linear_fields``:
+    ``u_wind(xn, yn, t, a_u, s_u, a_v, s_v)`` — pure elementwise ops."""
+    def u(xn, yn, t, au, su, av, sv):
+        return au + t * su
+
+    def v(xn, yn, t, au, su, av, sv):
+        return av + t * sv
+
+    return u, v
+
 
 @dataclasses.dataclass(frozen=True)
 class GriddedWinds1D:

@@ -32,7 +32,8 @@ import numpy as np
 
 from ..core import fetch_relations as FR
 from ..core.constants import IDConstants, ODEParameters, ODESettings
-from ..forcing.winds import Winds2D
+from ..forcing.winds import (GriddedWinds2D, Winds2D,
+                             gridded_pallas_samplers)
 from ..grids.base import Grid2D
 from ..ops import pic
 from ..ops import transforms as TR
@@ -96,6 +97,16 @@ class WaveGrowth2D:
                  config: WaveGrowth2DConfig = WaveGrowth2DConfig(),
                  rhs: Optional[Callable] = None):
         self.grid = grid
+        # gridded winds run on the Pallas path via their per-step
+        # linearization (winds are node-sampled, so in-kernel time is the
+        # only variable); detect both a GriddedWinds2D passed directly and
+        # a Winds2D of its bound methods
+        if isinstance(winds, GriddedWinds2D):
+            self.gridded_winds: Optional[GriddedWinds2D] = winds
+            winds = winds.as_winds()
+        else:
+            gw = getattr(getattr(winds, "u", None), "__self__", None)
+            self.gridded_winds = gw if isinstance(gw, GriddedWinds2D) else None
         self.winds = winds
         self.settings = ode_settings
         self.config = config
@@ -243,12 +254,20 @@ class WaveGrowth2D:
             consts = make_rhs_consts(gamma=self.constants.gamma,
                                      constants=self.constants,
                                      params=self.params)
-            pres = advance_pallas(self.winds.u, self.winds.v, consts,
+            if self.gridded_winds is not None:
+                u_k, v_k = gridded_pallas_samplers()
+                wind_fields = self.gridded_winds.pallas_linear_fields(
+                    grid.x, grid.y, ms.time, float(sett.timestep))
+            else:
+                u_k, v_k = self.winds.u, self.winds.v
+                wind_fields = ()
+            pres = advance_pallas(u_k, v_k, consts,
                                   self.flags, self.solver,
                                   float(sett.timestep), P.z, P.t, P.dt, adv,
                                   grid.x, grid.y,
                                   self.uniform_proj or grid.proj, grid.pc,
                                   block_x=cfg.pallas_block_x,
+                                  wind_fields=wind_fields,
                                   interpret=cfg.pallas_interpret)
             res_z = jnp.stack([pres.lne, pres.cgx, pres.cgy, pres.x, pres.y],
                               axis=-1)
@@ -342,11 +361,19 @@ class WaveGrowth2D:
             consts = make_rhs_consts(gamma=self.constants.gamma,
                                      constants=self.constants,
                                      params=self.params)
-            dt_auto = auto_dt_pallas(self.winds.u, self.winds.v, consts,
+            if self.gridded_winds is not None:
+                u_k, v_k = gridded_pallas_samplers()
+                wind_fields = self.gridded_winds.pallas_linear_fields(
+                    grid.x, grid.y, ms.time, float(sett.timestep))
+            else:
+                u_k, v_k = self.winds.u, self.winds.v
+                wind_fields = ()
+            dt_auto = auto_dt_pallas(u_k, v_k, consts,
                                      self.flags, t, z, grid.x, grid.y,
                                      self.uniform_proj or grid.proj, grid.pc,
                                      abstol=sett.abstol, reltol=sett.reltol,
                                      block_x=cfg.pallas_block_x,
+                                     wind_fields=wind_fields,
                                      interpret=cfg.pallas_interpret)
             dt = jnp.where(was_reset, jnp.clip(dt_auto, sett.dtmin, DT), dt)
         else:

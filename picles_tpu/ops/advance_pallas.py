@@ -9,9 +9,13 @@ kernel — pure VPU work with zero intermediate HBM traffic.  Each tile also
 converges independently: a quiet tile exits its while_loop after its own
 max sub-step count, not the global one.
 
-Constraints (checked by ``pallas_advance_available``):
- - the wind sampler must be an elementwise jnp closure (constant/analytic
-   winds; gridded `map_coordinates` winds fall back to the XLA path),
+Constraints:
+ - the wind sampler must be elementwise jnp ops over the node coordinates,
+   the time, and optional per-node ``wind_fields`` arrays.  Analytic winds
+   are closures; gridded winds pass their per-DT-window linearization
+   ``u = a_u + t * s_u`` as 4 field refs (winds are sampled at the fixed
+   node position, mirroring the reference, so time is the only in-kernel
+   variable — see GriddedWinds2D.pallas_linear_fields),
  - semantics match `integrate_to` exactly (same controller constants), so
    the two paths are interchangeable and cross-checked in tests.
 """
@@ -46,22 +50,24 @@ class PallasAdvanceResult(NamedTuple):
 
 
 def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
-                    config: SolverConfig, DT: float, uniform,
+                    config: SolverConfig, DT: float, uniform, n_wf: int,
                     # refs:
                     *refs):
+    (lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref, dt_ref,
+     act_ref, nx_ref, ny_ref) = refs[:10]
+    # per-node wind-field refs (gridded winds linearized over the DT
+    # window: the samplers read these instead of an analytic closure)
+    wf = tuple(r[:] for r in refs[10:10 + n_wf])
+    rest = refs[10 + n_wf:]
     if uniform is None:
-        (lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref, dt_ref,
-         act_ref, nx_ref, ny_ref, m00_ref, m01_ref, m10_ref, m11_ref,
-         pc_ref, lne_o, cgx_o, cgy_o, x_o, y_o, t_o, dt_o, fail_o,
-         nacc_o) = refs
+        (m00_ref, m01_ref, m10_ref, m11_ref, pc_ref) = rest[:5]
+        (lne_o, cgx_o, cgy_o, x_o, y_o, t_o, dt_o, fail_o, nacc_o) = rest[5:]
         m00, m01, m10, m11 = m00_ref[:], m01_ref[:], m10_ref[:], m11_ref[:]
         pc = pc_ref[:]
     else:
         # uniform grid: projection matrix + great-circle coefficient are
         # spatially constant — baked in as scalars, 5 fewer HBM streams
-        (lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref, dt_ref,
-         act_ref, nx_ref, ny_ref, lne_o, cgx_o, cgy_o, x_o, y_o, t_o,
-         dt_o, fail_o, nacc_o) = refs
+        (lne_o, cgx_o, cgy_o, x_o, y_o, t_o, dt_o, fail_o, nacc_o) = rest
         m00, m01, m10, m11, pc = uniform
     lne0, cgx0, cgy0 = lne_ref[:], cgx_ref[:], cgy_ref[:]
     px0, py0 = x_ref[:], y_ref[:]
@@ -72,8 +78,8 @@ def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
     t_end = t0 + DT
 
     def rhs(t, lne, cgx, cgy):
-        u = u_wind(xn, yn, t)
-        v = v_wind(xn, yn, t)
+        u = u_wind(xn, yn, t, *wf)
+        v = v_wind(xn, yn, t, *wf)
         u = jnp.broadcast_to(jnp.asarray(u, lne.dtype), lne.shape)
         v = jnp.broadcast_to(jnp.asarray(v, lne.dtype), lne.shape)
         return rhs_core_2d(lne, cgx, cgy, u, v, m00, m01, m10, m11, pc,
@@ -186,15 +192,16 @@ def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
 
 def _auto_dt_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
                     abstol: float, reltol: float, order: float, max_dt: float,
-                    uniform, *refs):
+                    uniform, n_wf: int, *refs):
+    (lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref, nx_ref, ny_ref) = refs[:8]
+    wf = tuple(r[:] for r in refs[8:8 + n_wf])
+    rest = refs[8 + n_wf:]
     if uniform is None:
-        (lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref, nx_ref, ny_ref,
-         m00_ref, m01_ref, m10_ref, m11_ref, pc_ref, out_ref) = refs
+        (m00_ref, m01_ref, m10_ref, m11_ref, pc_ref, out_ref) = rest
         m00, m01, m10, m11 = m00_ref[:], m01_ref[:], m10_ref[:], m11_ref[:]
         pc = pc_ref[:]
     else:
-        (lne_ref, cgx_ref, cgy_ref, x_ref, y_ref, t_ref, nx_ref, ny_ref,
-         out_ref) = refs
+        (out_ref,) = rest
         m00, m01, m10, m11, pc = uniform
     lne, cgx, cgy = lne_ref[:], cgx_ref[:], cgy_ref[:]
     px, py = x_ref[:], y_ref[:]
@@ -202,8 +209,8 @@ def _auto_dt_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
     xn, yn = nx_ref[:], ny_ref[:]
 
     def rhs(tt, a, b, c):
-        u = u_wind(xn, yn, tt)
-        v = v_wind(xn, yn, tt)
+        u = u_wind(xn, yn, tt, *wf)
+        v = v_wind(xn, yn, tt, *wf)
         u = jnp.broadcast_to(jnp.asarray(u, a.dtype), a.shape)
         v = jnp.broadcast_to(jnp.asarray(v, a.dtype), a.shape)
         return rhs_core_2d(a, b, c, u, v, m00, m01, m10, m11, pc,
@@ -241,12 +248,13 @@ def auto_dt_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
                    xn, yn, proj, pc, *, abstol: float = 1e-4,
                    reltol: float = 1e-3, order: float = 5.0,
                    max_dt: float = 3600.0, block_x: int = 0,
+                   wind_fields: Tuple[jnp.ndarray, ...] = (),
                    interpret: bool = False) -> jnp.ndarray:
     """Fused Hairer initial-dt estimate (semantics of ``tsit5.auto_dt``).
 
     The XLA version round-trips ~15 intermediate arrays through HBM for its
     two RHS evaluations; this kernel keeps everything in VMEM.  Tiled like
-    ``advance_pallas``; same wind-closure constraint.
+    ``advance_pallas``; same wind-sampler contract (see ``advance_pallas``).
     """
     nx, ny = t.shape
     if block_x <= 0:
@@ -263,11 +271,14 @@ def auto_dt_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
 
     uniform = proj if isinstance(proj, tuple) else None
     ins = [z[..., 0], z[..., 1], z[..., 2], z[..., 3], z[..., 4], t, xn, yn]
+    ins += [jnp.broadcast_to(jnp.asarray(f, z.dtype), t.shape)
+            for f in wind_fields]
     if uniform is None:
         ins += [proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
                 proj[..., 1, 1], pc]
     kernel = functools.partial(_auto_dt_kernel, u_wind, v_wind, consts,
-                               flags, abstol, reltol, order, max_dt, uniform)
+                               flags, abstol, reltol, order, max_dt, uniform,
+                               len(wind_fields))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -283,12 +294,19 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
                    z: jnp.ndarray, t: jnp.ndarray, dt: jnp.ndarray,
                    active: jnp.ndarray, xn, yn, proj, pc,
                    block_x: int = 0,
+                   wind_fields: Tuple[jnp.ndarray, ...] = (),
                    interpret: bool = False) -> PallasAdvanceResult:
     """Run the fused advance over ``[nx, ny]`` particle arrays.
 
     z: [nx, ny, 5]; returns component arrays (see PallasAdvanceResult).
     ``block_x = 0`` sizes the x-block automatically from a VMEM budget
     (~45 live f32 lanes through the Tsit5 stages).
+
+    Wind sampler contract: ``u_wind(xn, yn, t, *wind_fields)`` where
+    ``wind_fields`` are per-node ``[nx, ny]`` arrays streamed into VMEM
+    alongside the particle state.  Analytic winds ignore the fields
+    (pass ``()``); gridded winds pass their per-step linearization
+    (see forcing.winds.GriddedWinds2D.pallas_linear_fields).
     """
     nx, ny = t.shape
     if block_x <= 0:
@@ -308,6 +326,8 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
     uniform = proj if isinstance(proj, tuple) else None
     ins = [z[..., 0], z[..., 1], z[..., 2], z[..., 3], z[..., 4],
            t, dt, active.astype(jnp.int32), xn, yn]
+    ins += [jnp.broadcast_to(jnp.asarray(f, z.dtype), t.shape)
+            for f in wind_fields]
     if uniform is None:
         ins += [proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
                 proj[..., 1, 1], pc]
@@ -317,7 +337,7 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
     out_shape = (f32, f32, f32, f32, f32, f32, f32, i32, i32)
 
     kernel = functools.partial(_advance_kernel, u_wind, v_wind, consts,
-                               flags, config, DT, uniform)
+                               flags, config, DT, uniform, len(wind_fields))
     outs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -63,6 +63,60 @@ def test_pallas_block_divisor_handling():
     assert np.all(np.isfinite(np.asarray(sp.state)))
 
 
+def test_pallas_advance_gridded_winds():
+    """Gridded (map_coordinates) winds run on the Pallas path via the
+    per-step linearization fields.  Forcing cadence = 2 DT and aligned, so
+    the linearization equals the tri-linear interpolant exactly and the two
+    paths must agree to solver tolerance."""
+    from picles_tpu.forcing.winds import GriddedWinds2D
+
+    DT = 600.0
+    nxw, nyw, ntw = 12, 12, 40
+    rng = np.random.default_rng(0)
+    u_data = 8.0 + 3.0 * rng.standard_normal((ntw, nxw, nyw)).astype(np.float32)
+    v_data = 5.0 + 2.0 * rng.standard_normal((ntw, nxw, nyw)).astype(np.float32)
+    gw = GriddedWinds2D(u_data=jnp.asarray(u_data), v_data=jnp.asarray(v_data),
+                        x0=0.0, dx=100e3 / (nxw - 1), y0=0.0,
+                        dy=100e3 / (nyw - 1), t0=0.0, dt=2 * DT)
+    mx, mp = _models(gw.as_winds(), n=16)
+    assert mp.gridded_winds is gw  # bound-method detection
+    sx, sp = mx.init_state(), mp.init_state()
+    for _ in range(4):
+        sx = mx.step(sx)
+        sp = mp.step(sp)
+    np.testing.assert_allclose(np.asarray(sp.state), np.asarray(sx.state),
+                               rtol=1e-2, atol=1e-7)
+    assert int(sp.metrics.n_failed) == 0
+    assert int(sp.metrics.n_gather) == int(sx.metrics.n_gather)
+
+
+def test_gridded_linear_fields_match_interpolant():
+    """pallas_linear_fields reproduces the interpolant at the window
+    endpoints and midpoint (within a frame interval)."""
+    from picles_tpu.forcing.winds import (GriddedWinds2D,
+                                          gridded_pallas_samplers)
+
+    DT = 600.0
+    rng = np.random.default_rng(1)
+    gw = GriddedWinds2D(
+        u_data=jnp.asarray(rng.standard_normal((10, 8, 8)).astype(np.float32)),
+        v_data=jnp.asarray(rng.standard_normal((10, 8, 8)).astype(np.float32)),
+        x0=0.0, dx=10e3, y0=0.0, dy=10e3, t0=0.0, dt=2 * DT)
+    x = jnp.asarray(np.linspace(0, 70e3, 8, dtype=np.float32))
+    xx, yy = jnp.meshgrid(x, x, indexing="ij")
+    t0 = 1200.0  # window [1200, 1800] inside frame interval [1200, 2400]
+    au, su, av, sv = gw.pallas_linear_fields(xx, yy, t0, DT)
+    u_k, v_k = gridded_pallas_samplers()
+    for tq in (t0, t0 + 0.5 * DT, t0 + DT):
+        tqb = jnp.full_like(xx, tq)
+        np.testing.assert_allclose(np.asarray(u_k(xx, yy, tqb, au, su, av, sv)),
+                                   np.asarray(gw.u(xx, yy, tqb)),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v_k(xx, yy, tqb, au, su, av, sv)),
+                                   np.asarray(gw.v(xx, yy, tqb)),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_auto_dt_pallas_matches_xla():
     """Fused auto_dt kernel vs tsit5.auto_dt on the same particle state."""
     from picles_tpu.ops.advance_pallas import auto_dt_pallas
