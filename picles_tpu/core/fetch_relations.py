@@ -250,3 +250,106 @@ def PMParameters(U10):
 def PMlimits():
     """Reference FetchRelations.jl:620-622."""
     return dict(E_tilde=0.00402, f_p_tilde=0.123)
+
+
+# ---------------------------------------------------------------------------
+# legacy JONSWAP helpers (reference FetchRelations.jl:457-608, the "old
+# functions" block).  Kept for API parity; the reference versions contain
+# several latent bugs in code paths it never executes — fixes are documented
+# per function.
+# ---------------------------------------------------------------------------
+
+FETCH_GROWTH_PARAMETER = 3.5  # reference FetchRelations.jl:151 (fgp)
+
+
+def f_m_from_X(U10, X, fgp: float = FETCH_GROWTH_PARAMETER):
+    """JONSWAP peak frequency from dimensional fetch
+    (reference FetchRelations.jl:154-159)."""
+    return fgp * (G_GRAVITY / U10) * X_tilde(X, U10) ** (-0.33)
+
+
+def X_tilde_j_U_freq(U10, f_max, fgp: float = FETCH_GROWTH_PARAMETER):
+    """Non-dimensional JONSWAP fetch from peak frequency
+    (reference X̃_j_U_freq, FetchRelations.jl:457-463)."""
+    return fgp ** 3.0815 * G_GRAVITY ** 3 / (U10 ** 3 * f_max ** 3)
+
+
+def X_j_U_freq(U10, f_max, fgp: float = FETCH_GROWTH_PARAMETER):
+    """Dimensional JONSWAP fetch (meters) from peak frequency
+    (reference X_j_U_freq, FetchRelations.jl:465-471)."""
+    return fgp ** 3.0815 * G_GRAVITY ** 2 / (U10 * f_max ** 3)
+
+
+def X_tilde_j_U_tau(U10, tau):
+    """Non-dimensional JONSWAP fetch from duration tau (seconds)
+    (reference X̃_j_U_tau, FetchRelations.jl:473-480)."""
+    return (tau * G_GRAVITY / (14.0 * math.pi * U10)) ** 1.5
+
+
+def tau_j(U10, X):
+    """Equivalent JONSWAP fetch duration (seconds) from fetch (meters)
+    (reference τ_j, FetchRelations.jl:489-495; its body calls
+    ``X_tilde(U, X)`` with swapped arguments — corrected here to
+    ``X_tilde(X, U10)``, the inverse of :py:func:`X_tilde_j_U_tau`)."""
+    return 14.0 * math.pi * (U10 / G_GRAVITY) * X_tilde(X, U10) ** (2.0 / 3.0)
+
+
+def f_m_given_U_tau(U10, tau):
+    """JONSWAP peak frequency from wind and duration, including the
+    reference's empirical 1.035 adjustment (fₘ_given_U_tau,
+    FetchRelations.jl:520-528)."""
+    Xt = X_tilde_j_U_tau(U10, tau)
+    f_max = FETCH_GROWTH_PARAMETER * (G_GRAVITY / U10) * Xt ** (-1.0 / 3.0)
+    return f_max * 1.035
+
+
+def c_g_U_tau(U10, tau):
+    """Peak group speed g / (4 pi f_m) from wind and duration
+    (reference c_g_U_tau, FetchRelations.jl:530-537)."""
+    return G_GRAVITY / (4.0 * math.pi * f_m_given_U_tau(U10, tau))
+
+
+def E_j(U10, tau):
+    """JONSWAP wave energy from wind and duration
+    (reference Eⱼ, FetchRelations.jl:540-548)."""
+    f_max = f_m_given_U_tau(U10, tau)
+    return E_JONSWAP(f_max, alpha_j(U10, f_max))
+
+
+def JONSWAP_omega(U10, omega_p, omega):
+    """JONSWAP spectral density S(omega) with the 3.3^Gamma peak enhancement
+    (reference JONSWAP_omega, FetchRelations.jl:552-563).
+
+    The reference body references an undefined global ``U`` and feeds the
+    angular peak frequency straight into ``alpha_j`` (which expects Hz);
+    here ``U10`` is the argument and ``alpha_j`` receives f_p = omega_p/2pi.
+    """
+    omega = jnp.asarray(omega, dtype=jnp.result_type(float))
+    a_j = alpha_j(U10, omega_p / (2.0 * math.pi))
+    S = (2.0 * math.pi * a_j * G_GRAVITY ** 2) / omega ** 5 \
+        * jnp.exp(-(5.0 / 4.0) * (omega_p / omega) ** 4)
+    sigma = jnp.where(omega > omega_p, 0.09, 0.07)
+    Gamma_j = jnp.exp(-(omega - omega_p) ** 2
+                      / (2.0 * sigma ** 2 * omega_p ** 2))
+    return S * 3.3 ** Gamma_j
+
+
+def JONSWAP_frequency(U10, f_p, freq):
+    """JONSWAP spectral density over frequency (Hz) (reference
+    JONSWAP_frequency, FetchRelations.jl:575-580; its body forwards the
+    undefined global ``ω`` instead of the ``freq`` argument — fixed)."""
+    return JONSWAP_omega(U10, 2.0 * math.pi * f_p,
+                         2.0 * math.pi * jnp.asarray(freq)) * 2.0 * math.pi
+
+
+def PMSpectrum(U10, f):
+    """Pierson-Moskowitz spectrum S(f) (reference PMSpectrum,
+    FetchRelations.jl:586-601, Massel eq. 3.79-3.80; the reference body
+    calls Python's ``np.exp`` from Julia — never runnable)."""
+    f = jnp.asarray(f, dtype=jnp.result_type(float))
+    wp = 0.879 * G_GRAVITY / U10
+    w = 2.0 * math.pi * f
+    sigma = 0.04 * G_GRAVITY / wp ** 2
+    alpha = 5.0 * (wp ** 2 * sigma / G_GRAVITY) ** 2
+    return alpha * w ** (-5.0) * G_GRAVITY ** 2 \
+        * jnp.exp(-5.0 / 4.0 * (w / wp) ** (-4.0))

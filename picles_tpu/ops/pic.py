@@ -255,6 +255,33 @@ def scatter_1d_add(xabs: jnp.ndarray, charge: jnp.ndarray,
     return S
 
 
+def merge_2d_angle(grid_point: jnp.ndarray, charge: jnp.ndarray) -> jnp.ndarray:
+    """Angle-based 2D merge rule, elementwise over [..., 3] (e, m_x, m_y).
+
+    Reference ``merge!`` V1 / the ``⊓`` operator (ParticleInCell.jl:228-253,
+    298-299): add when the momentum vectors are within 60 degrees (or the
+    node is empty); otherwise the higher-energy side wins the node.  Defined
+    in the reference but only wired into the 1D path — the 2D deposit uses
+    plain ``+=`` — kept here for API parity.  Two latent reference bugs are
+    corrected: the cos-angle numerator's ``grid_point[3] * grid_point[3]``
+    typo (intended ``grid_point[3] * charge[3]``, with Julia precedence
+    applying the norm division to one term only), and the dead
+    ``(cosθ > 0.5) & (ΔE <= 0)`` replace branch (intended ``cosθ < 0.5``).
+    """
+    gE, gx, gy = grid_point[..., 0], grid_point[..., 1], grid_point[..., 2]
+    cE, cx, cy = charge[..., 0], charge[..., 1], charge[..., 2]
+    gn = jnp.sqrt(gx ** 2 + gy ** 2)
+    cn = jnp.sqrt(cx ** 2 + cy ** 2)
+    denom = gn * cn
+    cos_t = jnp.where(denom == 0, 1.0,
+                      (gx * cx + gy * cy) / jnp.where(denom == 0, 1.0, denom))
+    add = cos_t >= 0.5
+    keep_grid = ~add & (gE - cE > 0)
+    merged = jnp.where(add[..., None], grid_point + charge,
+                       jnp.where(keep_grid[..., None], grid_point, charge))
+    return merged
+
+
 def scatter_1d_merge(xabs: jnp.ndarray, charge: jnp.ndarray,
                      active: jnp.ndarray, xmin: float, dx: float, nx: int,
                      periodic: bool) -> jnp.ndarray:

@@ -116,3 +116,68 @@ def test_double_limited_fetch():
     v = float(FR.X_tilde_time_and_fetch(3 * 3600.0, 10.0, 5e3))
     xt_fetch = float(FR.X_tilde(5e3, 10.0))
     assert v <= xt_fetch
+
+
+# ---------------------------------------------------------------------------
+# legacy JONSWAP/PM helpers (reference FetchRelations.jl:457-623)
+# ---------------------------------------------------------------------------
+
+def test_legacy_fetch_frequency_roundtrip():
+    # X_tilde_j_U_freq inverts f_m_from_X_tilde up to the 0.33-vs-1/3
+    # exponent difference of the reference formulas
+    u10, xt = 12.0, 3e3
+    fm = float(FR.f_m_from_X_tilde(u10, xt))
+    xt_back = float(FR.X_tilde_j_U_freq(u10, fm))
+    assert np.isclose(xt_back, xt, rtol=0.05)
+    # dimensional version scales by U10^2/g
+    assert np.isclose(float(FR.X_j_U_freq(u10, fm)),
+                      xt_back * u10 ** 2 / 9.81, rtol=1e-6)
+
+
+def test_legacy_tau_fetch_roundtrip():
+    # tau_j inverts X_tilde_j_U_tau exactly
+    u10, tau = 10.0, 6 * 3600.0
+    xt = float(FR.X_tilde_j_U_tau(u10, tau))
+    X = xt * u10 ** 2 / 9.81
+    assert np.isclose(float(FR.tau_j(u10, X)), tau, rtol=1e-6)
+
+
+def test_legacy_f_m_given_U_tau():
+    # pinned against the reference formula with its 1.035 adjustment
+    u10, tau = 10.0, 6 * 3600.0
+    xt = (9.81 * tau / (14 * math.pi * u10)) ** 1.5
+    expected = 3.5 * (9.81 / u10) * xt ** (-1.0 / 3.0) * 1.035
+    assert np.isclose(float(FR.f_m_given_U_tau(u10, tau)), expected, rtol=1e-6)
+    assert np.isclose(float(FR.c_g_U_tau(u10, tau)),
+                      9.81 / (4 * math.pi * expected), rtol=1e-6)
+
+
+def test_legacy_E_j_consistent_with_E_JONSWAP():
+    u10, tau = 10.0, 6 * 3600.0
+    fm = float(FR.f_m_given_U_tau(u10, tau))
+    aj = 0.033 * (fm * u10 / 9.81) ** 0.67
+    expected = 0.31 * 9.81 ** 2 * aj * (fm * 2 * math.pi) ** (-4)
+    assert np.isclose(float(FR.E_j(u10, tau)), expected, rtol=1e-6)
+
+
+def test_jonswap_spectrum_shape():
+    u10 = 10.0
+    fp = 0.12
+    f = np.linspace(0.5 * fp, 4 * fp, 400)
+    S = np.asarray(FR.JONSWAP_frequency(u10, fp, f))
+    assert np.all(S >= 0) and np.all(np.isfinite(S))
+    # spectral peak sits at (or just above) the prescribed peak frequency
+    f_at_max = f[np.argmax(S)]
+    assert abs(f_at_max - fp) / fp < 0.1
+    # high-frequency tail decays
+    assert S[-1] < 0.05 * S.max()
+
+
+def test_pm_spectrum_peak_near_PM_f_peak():
+    u10 = 10.0
+    f = np.linspace(0.02, 1.0, 2000)
+    S = np.asarray(FR.PMSpectrum(u10, f))
+    assert np.all(np.isfinite(S)) and np.all(S >= 0)
+    f_at_max = f[np.argmax(S)]
+    wp_over_2pi = 0.879 * 9.81 / u10 / (2 * math.pi)
+    assert abs(f_at_max - wp_over_2pi) / wp_over_2pi < 0.15

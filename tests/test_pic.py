@@ -177,3 +177,40 @@ def test_scatter_1d_merge_opposing_keeps_larger():
     S = np.asarray(S)
     # positive-momentum group dominates everywhere it deposits
     assert S[2, 1] > 0 and S[3, 1] > 0
+
+
+# ---------------------------------------------------------------------------
+# 2D angle merge rule (reference merge! V1 / ⊓, ParticleInCell.jl:228-299)
+# ---------------------------------------------------------------------------
+
+def test_merge_2d_angle_aligned_adds():
+    g = jnp.asarray([1.0, 0.5, 0.0])
+    c = jnp.asarray([2.0, 0.4, 0.1])  # well within 60 degrees
+    out = np.asarray(pic.merge_2d_angle(g, c))
+    np.testing.assert_allclose(out, np.asarray(g) + np.asarray(c), rtol=1e-6)
+
+
+def test_merge_2d_angle_empty_node_adds():
+    g = jnp.asarray([0.0, 0.0, 0.0])
+    c = jnp.asarray([2.0, -0.4, 0.1])
+    out = np.asarray(pic.merge_2d_angle(g, c))
+    np.testing.assert_allclose(out, np.asarray(c), rtol=1e-6)
+
+
+def test_merge_2d_angle_opposed_higher_energy_wins():
+    g = jnp.asarray([3.0, 0.5, 0.0])
+    c = jnp.asarray([1.0, -0.5, 0.0])  # 180 degrees apart
+    out = np.asarray(pic.merge_2d_angle(g, c))
+    np.testing.assert_allclose(out, np.asarray(g))  # grid has more energy
+    out2 = np.asarray(pic.merge_2d_angle(c, g))
+    np.testing.assert_allclose(out2, np.asarray(g))  # charge replaces
+
+
+def test_merge_2d_angle_elementwise_batch():
+    g = jnp.stack([jnp.asarray([1.0, 0.5, 0.0]),
+                   jnp.asarray([3.0, 0.5, 0.0])])
+    c = jnp.stack([jnp.asarray([2.0, 0.4, 0.1]),
+                   jnp.asarray([1.0, -0.5, 0.0])])
+    out = np.asarray(pic.merge_2d_angle(g, c))
+    np.testing.assert_allclose(out[0], np.asarray(g[0] + c[0]), rtol=1e-6)
+    np.testing.assert_allclose(out[1], np.asarray(g[1]))
