@@ -43,11 +43,16 @@ def build(nx, ny, advance_mode="pallas", dt_reset_mode="carry"):
     grid = cartesian_box(2e3 * (nx - 1), nx, 2e3 * (ny - 1), ny,
                          periodic_boundary=(True, True))
     scatter_mode = "dense_pallas" if advance_mode == "pallas" else "dense"
+    # the (+10, +10) wind drives strictly positive displacements, so the
+    # CIC capacity bound is directional: ((0, 3), (0, 3)) pays 16 shifted
+    # adds instead of the symmetric halo-3's 49.  Violations would show in
+    # metrics.n_clamped, asserted zero after the spin-up below.
     return WaveGrowth2D(grid, constant_winds(10.0, 10.0), sett,
                         config=WaveGrowth2DConfig(periodic_boundary=True,
                                                   advance_mode=advance_mode,
                                                   scatter_mode=scatter_mode,
-                                                  dt_reset_mode=dt_reset_mode))
+                                                  dt_reset_mode=dt_reset_mode,
+                                                  halo=((0, 3), (0, 3))))
 
 
 def bench_config(nx, ny, n_small=None, n_big=None, reps=3):
@@ -72,6 +77,7 @@ def bench_config(nx, ny, n_small=None, n_big=None, reps=3):
     # spin-up to steady state + compile both scan lengths
     ms = run_jit(ms, 4)
     _ = float(ms.state[0, 0, 0])
+    assert int(ms.metrics.n_clamped) == 0, "halo capacity bound violated"
     for n in (n_small, n_big):
         _ = float(run_jit(ms, n).state[0, 0, 0])
 

@@ -38,8 +38,8 @@ z = np.zeros((grid.nx, grid.ny, 5), np.float32)
 z[..., 0] = math.log(0.2)
 on[10:16, 14:19] = True
 z[..., 1] = 12.0   # eastward 12 m/s
-ms = dataclasses.replace(ms, particles=Particles2D(
-    z=jnp.asarray(z), t=ms.particles.t, dt=ms.particles.dt, on=jnp.asarray(on)))
+ms = dataclasses.replace(ms, particles=Particles2D.from_z(
+    jnp.asarray(z), ms.particles.t, ms.particles.dt, jnp.asarray(on)))
 
 step = jax.jit(model.step)
 snaps, times = [], []

@@ -45,18 +45,41 @@ class StepMetrics(NamedTuple):
 class Particles2D:
     """SoA particle collection, one particle per grid node.
 
-    z:  [nx, ny, 5] = (lne, cg_x, cg_y, x, y); positions are relative to the
-        home node in grid-index units (mesh-grid convention,
-        reference mapping_2D.jl:59-73).
+    True structure-of-arrays: the 5 ODE variables are separate [nx, ny]
+    planes, NOT a stacked [nx, ny, 5] array — a 5-wide minor dimension
+    pads badly into TPU (8, 128) tiles and forces layout copies between
+    every fusion of the hot loop (measured ~1 ms/step of pure relayout at
+    1536^2).  Use the ``z`` property / ``from_z`` only at API boundaries.
+
+    lne, cgx, cgy: [nx, ny] log-energy and mean group velocity
+    px, py:        [nx, ny] positions relative to the home node in
+                   grid-index units (mesh-grid convention, reference
+                   mapping_2D.jl:59-73)
     t:  [nx, ny] per-particle integrator time
     dt: [nx, ny] per-particle next sub-step
     on: [nx, ny] bool
     """
 
-    z: jnp.ndarray
+    lne: jnp.ndarray
+    cgx: jnp.ndarray
+    cgy: jnp.ndarray
+    px: jnp.ndarray
+    py: jnp.ndarray
     t: jnp.ndarray
     dt: jnp.ndarray
     on: jnp.ndarray
+
+    @property
+    def z(self) -> jnp.ndarray:
+        """Stacked [nx, ny, 5] view (diagnostics / API compatibility)."""
+        return jnp.stack([self.lne, self.cgx, self.cgy, self.px, self.py],
+                         axis=-1)
+
+    @classmethod
+    def from_z(cls, z: jnp.ndarray, t: jnp.ndarray, dt: jnp.ndarray,
+               on: jnp.ndarray) -> "Particles2D":
+        return cls(lne=z[..., 0], cgx=z[..., 1], cgy=z[..., 2],
+                   px=z[..., 3], py=z[..., 4], t=t, dt=dt, on=on)
 
 
 @jax.tree_util.register_dataclass

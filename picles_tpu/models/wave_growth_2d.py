@@ -72,7 +72,13 @@ class WaveGrowth2DConfig:
     # is still governed by the embedded error controller (a too-large dt is
     # rejected and shrunk), but the steady-state substep count drops ~3-5x.
     dt_reset_mode: str = "auto"   # "auto" | "carry"
-    halo: int = 3                 # max CIC displacement in cells (dense mode)
+    # CIC displacement capacity in cells (dense scatter modes): an int H
+    # (symmetric) or ((x_lo, x_hi), (y_lo, y_hi)) bounds.  Directional
+    # regimes (e.g. constant trade winds) only displace one way, so
+    # asymmetric bounds cut the deposit's (x_lo+x_hi+1)(y_lo+y_hi+1)
+    # shifted adds vs (2H+1)^2; violations are clamped and counted in
+    # metrics.n_clamped (a CFL-style capacity statement).
+    halo: Union[int, Tuple[Tuple[int, int], Tuple[int, int]]] = 3
     layers: int = 1
     dtype: type = jnp.float32
     pallas_block_x: int = 0         # 0 = auto (VMEM-budget sized)
@@ -172,16 +178,17 @@ class WaveGrowth2D:
     def _reset_values(self, u, v):
         """Vectorized ResetParticleValues (reference core_2D.jl:307-343):
         windsea from local winds when no defaults are set, otherwise the
-        fixed defaults; positions (0, 0)."""
+        fixed defaults.  Returns (lne, cgx, cgy) component planes;
+        positions reset to (0, 0) at the call sites."""
+        dtype = self.config.dtype
         if self.defaults is None:
-            z = FR.get_initial_windsea_particle_state(u, v, self.settings.timestep)
-        else:
-            d = self.defaults
-            shp = jnp.shape(u)
-            z = jnp.broadcast_to(
-                jnp.asarray([d.lne, d.cg_x, d.cg_y, 0.0, 0.0],
-                            self.config.dtype), shp + (5,))
-        return z.astype(self.config.dtype)
+            ws = FR.get_initial_windsea(u, v, self.settings.timestep)
+            return (ws.lne.astype(dtype), ws.cg_bar_x.astype(dtype),
+                    ws.cg_bar_y.astype(dtype))
+        d = self.defaults
+        shp = jnp.shape(u)
+        return tuple(jnp.broadcast_to(jnp.asarray(val, dtype), shp)
+                     for val in (d.lne, d.cg_x, d.cg_y))
 
     def init_state(self) -> ModelState2D:
         """Vectorized particle seeding (reference SeedParticle,
@@ -196,21 +203,24 @@ class WaveGrowth2D:
         land = g.mask == 0
         if self.defaults is None:
             strong = wind_speed > SQRT2  # reference core_2D.jl:258
-            z_sea = FR.get_initial_windsea_particle_state(
-                u0, v0, self.settings.timestep).astype(cfg.dtype)
-            z_min = FR.MinimalParticle(u0, v0,
-                                       self.settings.timestep).astype(cfg.dtype)
-            z = jnp.where(strong[..., None], z_sea, z_min)
+            sea = FR.get_initial_windsea(u0, v0, self.settings.timestep)
+            wmin = FR.MinimalWindsea(u0, v0, self.settings.timestep)
+            lne = jnp.where(strong, sea.lne, wmin.lne).astype(cfg.dtype)
+            cgx = jnp.where(strong, sea.cg_bar_x,
+                            wmin.cg_bar_x).astype(cfg.dtype)
+            cgy = jnp.where(strong, sea.cg_bar_y,
+                            wmin.cg_bar_y).astype(cfg.dtype)
             on = strong & ~land
         else:
-            z = self._reset_values(u0, v0)
+            lne, cgx, cgy = self._reset_values(u0, v0)
             on = ~land
 
-        e, mx, my = TR.particle_to_node(z[..., 0], z[..., 1], z[..., 2])
+        e, mx, my = TR.particle_to_node(lne, cgx, cgy)
         state = jnp.stack([e, mx, my], axis=-1) * on[..., None].astype(cfg.dtype)
 
+        zero = jnp.zeros(g.x.shape, cfg.dtype)
         particles = Particles2D(
-            z=z,
+            lne=lne, cgx=cgx, cgy=cgy, px=zero, py=zero,
             t=jnp.zeros(g.x.shape, cfg.dtype),
             dt=jnp.full(g.x.shape, self.settings.dt, cfg.dtype),
             on=on)
@@ -247,6 +257,7 @@ class WaveGrowth2D:
 
         # ---------------- ADVANCE ----------------
         adv = P.on & active
+        comps0 = (P.lne, P.cgx, P.cgy, P.px, P.py)
         if cfg.advance_mode == "pallas":
             from ..ops.advance_pallas import advance_pallas
             from ..ops.rhs import make_rhs_consts
@@ -263,23 +274,25 @@ class WaveGrowth2D:
                 wind_fields = ()
             pres = advance_pallas(u_k, v_k, consts,
                                   self.flags, self.solver,
-                                  float(sett.timestep), P.z, P.t, P.dt, adv,
+                                  float(sett.timestep), comps0,
+                                  P.t, P.dt, adv,
                                   grid.x, grid.y,
                                   self.uniform_proj or grid.proj, grid.pc,
                                   block_x=cfg.pallas_block_x,
                                   wind_fields=wind_fields,
                                   interpret=cfg.pallas_interpret)
-            res_z = jnp.stack([pres.lne, pres.cgx, pres.cgy, pres.x, pres.y],
-                              axis=-1)
+            res_c = (pres.lne, pres.cgx, pres.cgy, pres.x, pres.y)
             res_t, res_dt = pres.t, pres.dt
             res_failed, res_naccept = pres.failed, pres.naccept
         else:
-            res = integrate_to(self.rhs, P.z, P.t, P.t + DT, P.dt, aux,
-                               adv, self.solver)
-            res_z, res_t, res_dt = res.z, res.t, res.dt
+            res = integrate_to(self.rhs, jnp.stack(comps0, axis=-1), P.t,
+                               P.t + DT, P.dt, aux, adv, self.solver)
+            res_c = tuple(res.z[..., i] for i in range(5))
+            res_t, res_dt = res.t, res.dt
             res_failed, res_naccept = res.failed, res.naccept
         failed = res_failed & adv
-        z = jnp.where(adv[..., None], res_z, P.z)
+        lne, cgx, cgy, px, py = (jnp.where(adv, rc, c0)
+                                 for rc, c0 in zip(res_c, comps0))
         t = jnp.where(adv, res_t, P.t)
         dt = jnp.where(adv, res_dt, P.dt)
         on = P.on
@@ -292,34 +305,42 @@ class WaveGrowth2D:
         v_end = jnp.broadcast_to(jnp.asarray(v_end, cfg.dtype), t.shape)
         wind2_end = u_end ** 2 + v_end ** 2
         relight = off & (wind2_end >= sett.wind_min_squared)
-        z_relight = self._reset_values(u_end, v_end)
-        z = jnp.where(relight[..., None], z_relight, z)
-        on = on | relight
 
         # guards (mapping_2D.jl:196-235); not applied to failed lanes
         guardable = active & ~failed
-        nan_mask = guardable & jnp.any(jnp.isnan(z[..., :3]), axis=-1)
-        inf_mask = guardable & ~nan_mask & jnp.any(jnp.isinf(z[..., :3]), axis=-1)
-        z_guard = self._reset_values(u_end, v_end)  # winds at t_start + DT
+        isbad = lambda f: f(lne) | f(cgx) | f(cgy)  # noqa: E731
+        nan_mask = guardable & isbad(jnp.isnan)
+        inf_mask = guardable & ~nan_mask & isbad(jnp.isinf)
         bad = nan_mask | inf_mask
-        z = jnp.where(bad[..., None], z_guard, z)
 
-        emax_mask = guardable & ~bad & (z[..., 0] > sett.log_energy_maximum)
-        z = z.at[..., 0].set(jnp.where(emax_mask,
-                                       jnp.asarray(sett.log_energy_maximum,
-                                                   cfg.dtype), z[..., 0]))
+        # re-light and NaN/Inf guard both reset to the local windsea at
+        # t_start + DT with positions (0, 0)
+        reset_adv = relight | bad
+        lne_r, cgx_r, cgy_r = self._reset_values(u_end, v_end)
+        lne = jnp.where(reset_adv, lne_r, lne)
+        cgx = jnp.where(reset_adv, cgx_r, cgx)
+        cgy = jnp.where(reset_adv, cgy_r, cgy)
+        px = jnp.where(reset_adv, 0.0, px)
+        py = jnp.where(reset_adv, 0.0, py)
+        on = on | relight
+
+        emax_mask = guardable & ~bad & (lne > sett.log_energy_maximum)
+        lne = jnp.where(emax_mask,
+                        jnp.asarray(sett.log_energy_maximum, cfg.dtype), lne)
         was_reset_adv = relight | bad | emax_mask
 
         # ---------------- SCATTER ----------------
         scatter_on = on & active & ~failed
-        e, mx, my = TR.particle_to_node(z[..., 0], z[..., 1], z[..., 2])
-        charge = jnp.stack([e, mx, my], axis=-1)
+        e, mx, my = TR.particle_to_node(lne, cgx, cgy)
         if scatter_fn is None:
-            S, sc_stats = pic.scatter(z[..., 3], z[..., 4], charge, scatter_on,
-                                      grid.stats, cfg.halo, cfg.scatter_mode,
-                                      interpret=cfg.pallas_interpret)
+            (e_n, mx_n, my_n), sc_stats = pic.scatter_channels(
+                px, py, (e, mx, my), scatter_on, grid.stats, cfg.halo,
+                cfg.scatter_mode, interpret=cfg.pallas_interpret)
         else:
-            S, sc_stats = scatter_fn(z[..., 3], z[..., 4], charge, scatter_on)
+            S_sh, sc_stats = scatter_fn(px, py,
+                                        jnp.stack([e, mx, my], axis=-1),
+                                        scatter_on)
+            e_n, mx_n, my_n = S_sh[..., 0], S_sh[..., 1], S_sh[..., 2]
 
         # ---------------- REMESH ----------------
         # winds at the pre-tick clock time (TimeSteppers.jl:144-151)
@@ -329,7 +350,6 @@ class WaveGrowth2D:
         v_i = jnp.broadcast_to(jnp.asarray(v_i, cfg.dtype), t.shape)
         wind2_i = u_i ** 2 + v_i ** 2
 
-        e_n, mx_n, my_n = S[..., 0], S[..., 1], S[..., 2]
         m2_n = mx_n ** 2 + my_n ** 2
         gather = (active & ~boundary
                   & (e_n >= self.minimal_state[0])
@@ -339,12 +359,13 @@ class WaveGrowth2D:
         go_off = active & ~gather & ~reseed
 
         lne_g, cgx_g, cgy_g = TR.node_to_particle(e_n, mx_n, my_n)
-        zero = jnp.zeros_like(lne_g)
-        z_gather = jnp.stack([lne_g, cgx_g, cgy_g, zero, zero], axis=-1)
-        z_reseed = self._reset_values(u_i, v_i)
+        lne_s, cgx_s, cgy_s = self._reset_values(u_i, v_i)
 
-        z = jnp.where(gather[..., None], z_gather, z)
-        z = jnp.where(reseed[..., None], z_reseed, z)
+        lne = jnp.where(gather, lne_g, jnp.where(reseed, lne_s, lne))
+        cgx = jnp.where(gather, cgx_g, jnp.where(reseed, cgx_s, cgx))
+        cgy = jnp.where(gather, cgy_g, jnp.where(reseed, cgy_s, cgy))
+        px = jnp.where(gather | reseed, 0.0, px)
+        py = jnp.where(gather | reseed, 0.0, py)
         on = jnp.where(active, (gather | reseed), on)
 
         # dt reset (auto_dt_reset!) for every lane whose u was replaced
@@ -369,7 +390,8 @@ class WaveGrowth2D:
                 u_k, v_k = self.winds.u, self.winds.v
                 wind_fields = ()
             dt_auto = auto_dt_pallas(u_k, v_k, consts,
-                                     self.flags, t, z, grid.x, grid.y,
+                                     self.flags, t, (lne, cgx, cgy, px, py),
+                                     grid.x, grid.y,
                                      self.uniform_proj or grid.proj, grid.pc,
                                      abstol=sett.abstol, reltol=sett.reltol,
                                      block_x=cfg.pallas_block_x,
@@ -377,8 +399,9 @@ class WaveGrowth2D:
                                      interpret=cfg.pallas_interpret)
             dt = jnp.where(was_reset, jnp.clip(dt_auto, sett.dtmin, DT), dt)
         else:
-            dt_auto = auto_dt(self.rhs, t, z, aux, abstol=sett.abstol,
-                              reltol=sett.reltol)
+            dt_auto = auto_dt(self.rhs,
+                              t, jnp.stack([lne, cgx, cgy, px, py], axis=-1),
+                              aux, abstol=sett.abstol, reltol=sett.reltol)
             dt = jnp.where(was_reset, jnp.clip(dt_auto, sett.dtmin, DT), dt)
 
         if psum_axes:
@@ -409,7 +432,9 @@ class WaveGrowth2D:
                        else jnp.asarray(sc_stats.clamped, jnp.int32)),
             substeps_max=_maxred(res_naccept))
 
-        particles = Particles2D(z=z, t=t, dt=dt, on=on)
+        particles = Particles2D(lne=lne, cgx=cgx, cgy=cgy, px=px, py=py,
+                                t=t, dt=dt, on=on)
+        S = jnp.stack([e_n, mx_n, my_n], axis=-1)
         return ModelState2D(state=S, particles=particles,
                             time=ms.time + DT,
                             iteration=ms.iteration + 1,
@@ -433,17 +458,15 @@ class WaveGrowth2D:
 
         return ModelState2D(
             state=bc(base.state),
-            particles=Particles2D(z=bc(base.particles.z),
-                                  t=bc(base.particles.t),
-                                  dt=bc(base.particles.dt),
-                                  on=bc(base.particles.on)),
+            particles=jax.tree.map(bc, base.particles),
             time=base.time, iteration=base.iteration, metrics=base.metrics)
 
     def step_layers(self, ms: ModelState2D) -> ModelState2D:
         """vmap the step over the leading layer axis (shared clock)."""
         no_metrics = StepMetrics(*([None] * len(StepMetrics._fields)))
         per_layer = StepMetrics(*([0] * len(StepMetrics._fields)))
-        p_axes0 = Particles2D(z=0, t=0, dt=0, on=0)
+        p_axes0 = Particles2D(lne=0, cgx=0, cgy=0, px=0, py=0,
+                              t=0, dt=0, on=0)
         in_axes = ModelState2D(state=0, particles=p_axes0, time=None,
                                iteration=None, metrics=no_metrics)
         out_axes = ModelState2D(state=0, particles=p_axes0, time=None,

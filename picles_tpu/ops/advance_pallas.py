@@ -270,8 +270,9 @@ def auto_dt_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
                             memory_space=pltpu.VMEM)
 
     uniform = proj if isinstance(proj, tuple) else None
-    ins = [z[..., 0], z[..., 1], z[..., 2], z[..., 3], z[..., 4], t, xn, yn]
-    ins += [jnp.broadcast_to(jnp.asarray(f, z.dtype), t.shape)
+    comps = z if isinstance(z, tuple) else tuple(z[..., i] for i in range(5))
+    ins = [*comps, t, xn, yn]
+    ins += [jnp.broadcast_to(jnp.asarray(f, t.dtype), t.shape)
             for f in wind_fields]
     if uniform is None:
         ins += [proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
@@ -284,7 +285,7 @@ def auto_dt_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
         grid=grid,
         in_specs=[spec() for _ in ins],
         out_specs=spec(),
-        out_shape=jax.ShapeDtypeStruct((nx, ny), z.dtype),
+        out_shape=jax.ShapeDtypeStruct((nx, ny), t.dtype),
         interpret=interpret,
     )(*ins)
 
@@ -324,15 +325,17 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
     # tuple proj = (m00, m01, m10, m11, pc) python floats for spatially
     # uniform grids: 5 fewer HBM input streams
     uniform = proj if isinstance(proj, tuple) else None
-    ins = [z[..., 0], z[..., 1], z[..., 2], z[..., 3], z[..., 4],
-           t, dt, active.astype(jnp.int32), xn, yn]
-    ins += [jnp.broadcast_to(jnp.asarray(f, z.dtype), t.shape)
+    # z: either a stacked [nx, ny, 5] array or a 5-tuple of [nx, ny]
+    # component planes (preferred — avoids the stacked layout round-trip)
+    comps = z if isinstance(z, tuple) else tuple(z[..., i] for i in range(5))
+    ins = [*comps, t, dt, active.astype(jnp.int32), xn, yn]
+    ins += [jnp.broadcast_to(jnp.asarray(f, t.dtype), t.shape)
             for f in wind_fields]
     if uniform is None:
         ins += [proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
                 proj[..., 1, 1], pc]
 
-    f32 = jax.ShapeDtypeStruct((nx, ny), z.dtype)
+    f32 = jax.ShapeDtypeStruct((nx, ny), t.dtype)
     i32 = jax.ShapeDtypeStruct((nx, ny), jnp.int32)
     out_shape = (f32, f32, f32, f32, f32, f32, f32, i32, i32)
 

@@ -40,21 +40,46 @@ class ScatterStats(NamedTuple):
     clamped: jnp.ndarray  # number of particles whose displacement hit the halo
 
 
+def normalize_halo(halo) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """Normalize a halo spec to ``((x_lo, x_hi), (y_lo, y_hi))``.
+
+    An int ``H`` means the symmetric ``((H, H), (H, H))``.  Asymmetric
+    bounds are a capacity statement like a CFL condition: displacements are
+    clamped into ``[-lo, hi)`` per axis (violations counted in
+    ``ScatterStats.clamped``), and the deposit pays ``(x_lo + x_hi + 1) *
+    (y_lo + y_hi + 1)`` shifted adds instead of ``(2H+1)^2`` — directional
+    flows (trade winds, channel flows) only displace one way, so e.g.
+    ``((1, 3), (1, 3))`` halves the scatter cost vs symmetric 3.
+    """
+    if isinstance(halo, int):
+        return ((halo, halo), (halo, halo))
+    hx, hy = halo
+    if isinstance(hx, int):
+        return ((hx, hx), (hy, hy))
+    return ((int(hx[0]), int(hx[1])), (int(hy[0]), int(hy[1])))
+
+
+def halo_max(halo) -> int:
+    (xl, xh), (yl, yh) = normalize_halo(halo)
+    return max(xl, xh, yl, yh)
+
+
 # ---------------------------------------------------------------------------
 # CIC weights
 # ---------------------------------------------------------------------------
 
-def cic_weights(pos: jnp.ndarray, halo: int) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                                      jnp.ndarray]:
+def cic_weights(pos: jnp.ndarray, halo) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                 jnp.ndarray, jnp.ndarray]:
     """Floor offset and (floor, ceil) weights of a relative position.
 
     Reference get_absolute_i_and_w (ParticleInCell.jl:58-71) without the
     round-to-6-digits weight snapping (float32 path).  Positions are clamped
-    into the halo range [-H, H-1+1) so the dense scatter stays static-shape;
+    into the halo range [-lo, hi) so the dense scatter stays static-shape;
     the clamp count is returned for observability.
     """
-    lim_lo = -float(halo)
-    lim_hi = float(halo) - 1e-5
+    lo, hi = (halo, halo) if isinstance(halo, int) else halo
+    lim_lo = -float(lo)
+    lim_hi = float(hi) - 1e-5
     clamped = (pos < lim_lo) | (pos > lim_hi)
     p = jnp.clip(pos, lim_lo, lim_hi)
     f = jnp.floor(p)
@@ -67,10 +92,10 @@ def cic_weights(pos: jnp.ndarray, halo: int) -> Tuple[jnp.ndarray, jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _weight_planes(fi: jnp.ndarray, w_floor: jnp.ndarray, w_ceil: jnp.ndarray,
-                   halo: int):
+                   lo: int, hi: int):
     """Per-offset weight planes: W[o] = w_floor*[fi==o] + w_ceil*[fi==o-1]."""
     planes = []
-    for o in range(-halo, halo + 1):
+    for o in range(-lo, hi + 1):
         w = jnp.where(fi == o, w_floor, 0.0) + jnp.where(fi == o - 1, w_ceil, 0.0)
         planes.append(w)
     return planes
@@ -78,42 +103,44 @@ def _weight_planes(fi: jnp.ndarray, w_floor: jnp.ndarray, w_ceil: jnp.ndarray,
 
 def scatter_accumulate_padded(xrel: jnp.ndarray, yrel: jnp.ndarray,
                               charge: jnp.ndarray, active: jnp.ndarray,
-                              halo: int) -> Tuple[jnp.ndarray, ScatterStats]:
-    """Accumulate CIC contributions into a padded [nx+2H, ny+2H, C] array.
+                              halo) -> Tuple[jnp.ndarray, ScatterStats]:
+    """Accumulate CIC contributions into a [nx+xl+xh, ny+yl+yh, C] array.
 
     ``charge[nx, ny, C]``; ``active`` zeroes non-scattering particles
     (off / land, reference mapping_2D.jl:238-240 scatters only when on).
     """
     nx, ny, C = charge.shape
-    H = halo
-    fx, wxf, wxc, cx_cl = cic_weights(xrel, H)
-    fy, wyf, wyc, cy_cl = cic_weights(yrel, H)
+    (xl, xh), (yl, yh) = normalize_halo(halo)
+    fx, wxf, wxc, cx_cl = cic_weights(xrel, (xl, xh))
+    fy, wyf, wyc, cy_cl = cic_weights(yrel, (yl, yh))
     act = active.astype(charge.dtype)
     ch = charge * act[..., None]
 
-    Wx = _weight_planes(fx, wxf, wxc, H)
-    Wy = _weight_planes(fy, wyf, wyc, H)
+    Wx = _weight_planes(fx, wxf, wxc, xl, xh)
+    Wy = _weight_planes(fy, wyf, wyc, yl, yh)
 
-    P = jnp.zeros((nx + 2 * H, ny + 2 * H, C), charge.dtype)
-    for ix, ox in enumerate(range(-H, H + 1)):
-        for iy, oy in enumerate(range(-H, H + 1)):
+    P = jnp.zeros((nx + xl + xh, ny + yl + yh, C), charge.dtype)
+    for ix, ox in enumerate(range(-xl, xh + 1)):
+        for iy, oy in enumerate(range(-yl, yh + 1)):
             w = Wx[ix] * Wy[iy]
-            P = P.at[H + ox:H + ox + nx, H + oy:H + oy + ny, :].add(
+            P = P.at[xl + ox:xl + ox + nx, yl + oy:yl + oy + ny, :].add(
                 w[..., None] * ch)
     clamped = jnp.sum((cx_cl | cy_cl) & active)
     return P, ScatterStats(clamped=clamped)
 
 
-def fold_padded_x(P: jnp.ndarray, bx: Boundary, halo: int) -> jnp.ndarray:
+def fold_padded_x(P: jnp.ndarray, bx: Boundary, halo) -> jnp.ndarray:
     """Fold the x halo slabs of a padded array: periodic wrap or drop."""
-    H = halo
-    nx = P.shape[0] - 2 * H
-    core = P[H:H + nx]
-    if H == 0:
+    (xl, xh), _ = normalize_halo(halo)
+    nx = P.shape[0] - xl - xh
+    core = P[xl:xl + nx]
+    if xl == 0 and xh == 0:
         return core
     if bx == Boundary.PERIODIC:
-        core = core.at[nx - H:].add(P[:H])
-        core = core.at[:H].add(P[H + nx:])
+        if xl:
+            core = core.at[nx - xl:].add(P[:xl])
+        if xh:
+            core = core.at[:xh].add(P[xl + nx:])
     elif bx == Boundary.NONPERIODIC:
         pass  # drop (reference ParticleInCell.jl:351-355)
     else:
@@ -127,29 +154,31 @@ def _tripolar_flip_x(row: jnp.ndarray) -> jnp.ndarray:
     return jnp.roll(row[::-1], -1, axis=0)
 
 
-def fold_padded_y(Q: jnp.ndarray, by: Boundary, halo: int) -> jnp.ndarray:
+def fold_padded_y(Q: jnp.ndarray, by: Boundary, halo) -> jnp.ndarray:
     """Fold the y halo slabs: periodic wrap, drop, or tripolar north fold."""
-    H = halo
-    ny = Q.shape[1] - 2 * H
-    core = Q[:, H:H + ny]
-    if H == 0:
+    _, (yl, yh) = normalize_halo(halo)
+    ny = Q.shape[1] - yl - yh
+    core = Q[:, yl:yl + ny]
+    if yl == 0 and yh == 0:
         return core
     if by == Boundary.PERIODIC:
-        core = core.at[:, ny - H:].add(Q[:, :H])
-        core = core.at[:, :H].add(Q[:, H + ny:])
+        if yl:
+            core = core.at[:, ny - yl:].add(Q[:, :yl])
+        if yh:
+            core = core.at[:, :yh].add(Q[:, yl + ny:])
     elif by == Boundary.NONPERIODIC:
         pass
     elif by == Boundary.TRIPOLAR_NORTH:
         # south halo dropped (ParticleInCell.jl:353); north halo row
         # gy = ny + k folds onto gy' = ny - 1 - k with x flipped.
-        for k in range(H):
-            core = core.at[:, ny - 1 - k].add(_tripolar_flip_x(Q[:, H + ny + k]))
+        for k in range(yh):
+            core = core.at[:, ny - 1 - k].add(_tripolar_flip_x(Q[:, yl + ny + k]))
     return core
 
 
 def scatter_dense(xrel: jnp.ndarray, yrel: jnp.ndarray, charge: jnp.ndarray,
                   active: jnp.ndarray, stats: GridStats,
-                  halo: int) -> Tuple[jnp.ndarray, ScatterStats]:
+                  halo) -> Tuple[jnp.ndarray, ScatterStats]:
     """Full dense scatter: accumulate padded, fold x then y."""
     P, st = scatter_accumulate_padded(xrel, yrel, charge, active, halo)
     Q = fold_padded_x(P, stats.bx, halo)
@@ -212,7 +241,7 @@ def scatter_xla(xrel: jnp.ndarray, yrel: jnp.ndarray, charge: jnp.ndarray,
     return S, ScatterStats(clamped=jnp.zeros((), jnp.int32))
 
 
-def scatter(xrel, yrel, charge, active, stats: GridStats, halo: int,
+def scatter(xrel, yrel, charge, active, stats: GridStats, halo,
             mode: str = "dense", interpret: bool = False):
     if mode == "dense":
         return scatter_dense(xrel, yrel, charge, active, stats, halo)
@@ -226,6 +255,27 @@ def scatter(xrel, yrel, charge, active, stats: GridStats, halo: int,
     if mode == "xla":
         return scatter_xla(xrel, yrel, charge, active, stats, halo)
     raise ValueError(f"unknown scatter mode {mode!r}")
+
+
+def scatter_channels(xrel, yrel, chans: Tuple[jnp.ndarray, ...], active,
+                     stats: GridStats, halo, mode: str = "dense",
+                     interpret: bool = False):
+    """Channel-plane variant of ``scatter``: takes and returns per-channel
+    [nx, ny] arrays instead of a stacked [nx, ny, C] (the models' hot path —
+    a C-wide minor dim pads badly into TPU (8, 128) tiles)."""
+    if mode == "dense_pallas":
+        from .pic_pallas import scatter_padded_channels_pallas
+
+        Ps, st = scatter_padded_channels_pallas(xrel, yrel, chans, active,
+                                                halo, interpret=interpret)
+        out = []
+        for P in Ps:  # the folds are rank-agnostic (leading two dims)
+            Q = fold_padded_x(P, stats.bx, halo)
+            out.append(fold_padded_y(Q, stats.by, halo))
+        return tuple(out), st
+    S, st = scatter(xrel, yrel, jnp.stack(chans, axis=-1), active, stats,
+                    halo, mode, interpret)
+    return tuple(S[..., i] for i in range(len(chans))), st
 
 
 # ---------------------------------------------------------------------------

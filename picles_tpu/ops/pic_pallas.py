@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .pic import ScatterStats
 
 
-def _accum_kernel(H: int, PADR: int, PADC: int, bp: int, bc: int,
+def _accum_kernel(xl: int, xh: int, yl: int, yh: int,
+                  PADR: int, PADC: int, bp: int, bc: int,
                   xr_ref, yr_ref, c0_ref, c1_ref, c2_ref,
                   out0_ref, out1_ref, out2_ref):
     # Loop structure chosen for TPU vector-layout cost, not FLOPs: the
@@ -46,13 +47,12 @@ def _accum_kernel(H: int, PADR: int, PADC: int, bp: int, bc: int,
     # position planes — 4 fewer HBM input streams than shipping
     # (fx, wxf, wxc, fy, wyf, wyc) precomputed.
     dtype = c0_ref.dtype
-    lim_lo, lim_hi = -float(H), float(H) - 1e-5
-    px = jnp.clip(xr_ref[:], lim_lo, lim_hi)
+    px = jnp.clip(xr_ref[:], -float(xl), float(xh) - 1e-5)
     fxf = jnp.floor(px)
     fx = fxf.astype(jnp.int32)
     wxc = px - fxf
     wxf = 1.0 - wxc
-    py = jnp.clip(yr_ref[:], lim_lo, lim_hi)
+    py = jnp.clip(yr_ref[:], -float(yl), float(yh) - 1e-5)
     fyf = jnp.floor(py)
     fy = fyf.astype(jnp.int32)
     wyc = py - fyf
@@ -62,7 +62,7 @@ def _accum_kernel(H: int, PADR: int, PADC: int, bp: int, bc: int,
     # per-dx x-weight planes, rows pre-sliced to the output range,
     # full (source-aligned) columns
     WX = []
-    for dx in range(-H, H + 1):
+    for dx in range(-xl, xh + 1):
         rs = PADR - dx
         sub_fx = fx[rs:rs + bp, :]
         WX.append(jnp.where(sub_fx == dx, wxf[rs:rs + bp, :], 0.0)
@@ -71,14 +71,14 @@ def _accum_kernel(H: int, PADR: int, PADC: int, bp: int, bc: int,
     acc0 = jnp.zeros((bp, bc), c0_ref.dtype)
     acc1 = jnp.zeros((bp, bc), c0_ref.dtype)
     acc2 = jnp.zeros((bp, bc), c0_ref.dtype)
-    for dy in range(-H, H + 1):
+    for dy in range(-yl, yh + 1):
         wy = (jnp.where(fy == dy, wyf, 0.0)
               + jnp.where(fy == dy - 1, wyc, 0.0))
         q0, q1, q2 = wy * c0, wy * c1, wy * c2
         a0 = jnp.zeros_like(WX[0])
         a1 = jnp.zeros_like(WX[0])
         a2 = jnp.zeros_like(WX[0])
-        for i, dx in enumerate(range(-H, H + 1)):
+        for i, dx in enumerate(range(-xl, xh + 1)):
             rs = PADR - dx
             wx = WX[i]
             a0 = a0 + wx * q0[rs:rs + bp, :]
@@ -93,40 +93,46 @@ def _accum_kernel(H: int, PADR: int, PADC: int, bp: int, bc: int,
     out2_ref[:] = acc2
 
 
-def scatter_accumulate_padded_pallas(
-        xrel: jnp.ndarray, yrel: jnp.ndarray, charge: jnp.ndarray,
-        active: jnp.ndarray, halo: int, *, block_x: int = 64,
-        interpret: bool = False) -> Tuple[jnp.ndarray, ScatterStats]:
-    """Drop-in replacement for pic.scatter_accumulate_padded (3 channels).
+def scatter_padded_channels_pallas(
+        xrel: jnp.ndarray, yrel: jnp.ndarray, charge, active: jnp.ndarray,
+        halo, *, block_x: int = 64,
+        interpret: bool = False) -> Tuple[Tuple[jnp.ndarray, ...], ScatterStats]:
+    """Channel-plane core: returns 3 padded [nx+xl+xh, ny+yl+yh] planes.
 
-    Returns the standard ``[nx+2H, ny+2H, 3]`` padded accumulator.
+    ``charge``: stacked [nx, ny, 3] or a 3-tuple of [nx, ny] planes.
     """
-    nx, ny, C = charge.shape
-    assert C == 3, "pallas accumulate kernel is specialized to 3 channels"
-    H = halo
-    PADR = ((H + 3) // 4) * 4  # >= H and 2*PADR % 8 == 0
+    # charge: stacked [nx, ny, 3] or a 3-tuple of [nx, ny] channel planes
+    # (preferred — avoids the stacked minor-dim layout round-trip)
+    chans = (charge if isinstance(charge, tuple)
+             else tuple(charge[..., i] for i in range(3)))
+    assert len(chans) == 3, "pallas accumulate kernel is specialized to 3 channels"
+    nx, ny = chans[0].shape
+    from .pic import normalize_halo
 
-    lim_lo, lim_hi = -float(H), float(H) - 1e-5
-    clamped = jnp.sum(((xrel < lim_lo) | (xrel > lim_hi)
-                       | (yrel < lim_lo) | (yrel > lim_hi)) & active)
-    act = active.astype(charge.dtype)
-    ch = charge * act[..., None]
+    (xl, xh), (yl, yh) = normalize_halo(halo)
+    H_row = max(xl, xh)
+    PADR = max(4, ((H_row + 3) // 4) * 4)  # >= max x-offset, 2*PADR % 8 == 0
 
-    PADC = 64                  # 2*PADC % 128 == 0 (lane alignment)
-    npx, nyp = nx + 2 * H, ny + 2 * H
+    clamped = jnp.sum(((xrel < -float(xl)) | (xrel > float(xh) - 1e-5)
+                       | (yrel < -float(yl)) | (yrel > float(yh) - 1e-5))
+                      & active)
+    act = active.astype(chans[0].dtype)
+    ch0, ch1, ch2 = (c * act for c in chans)
+
+    PADC = 64                  # >= max y-offset; 2*PADC % 128 == 0
+    npx, nyp = nx + xl + xh, ny + yl + yh
     bp = min(block_x, 8 * ((npx + 7) // 8))
     bp = max(8, (bp // 8) * 8)
     npx_pad = ((npx + bp - 1) // bp) * bp
     bc = min(256, 128 * ((nyp + 127) // 128))
     nyp_pad = ((nyp + bc - 1) // bc) * bc
 
-    # particle i lives at padded row i + PADR + H, col j + PADC + H
-    row_pad = (PADR + H, npx_pad + PADR - H - nx)
-    col_pad = (PADC + H, nyp_pad + PADC - H - ny)
+    # particle i lives at padded row i + PADR + xl, col j + PADC + yl
+    row_pad = (PADR + xl, npx_pad + PADR - xl - nx)
+    col_pad = (PADC + yl, nyp_pad + PADC - yl - ny)
     pad = (row_pad, col_pad)
     ins = [jnp.pad(xrel, pad), jnp.pad(yrel, pad),
-           jnp.pad(ch[..., 0], pad), jnp.pad(ch[..., 1], pad),
-           jnp.pad(ch[..., 2], pad)]
+           jnp.pad(ch0, pad), jnp.pad(ch1, pad), jnp.pad(ch2, pad)]
 
     grid = (npx_pad // bp, nyp_pad // bc)
     win_rows = bp + 2 * PADR
@@ -136,8 +142,9 @@ def scatter_accumulate_padded_pallas(
                              memory_space=pltpu.VMEM) for _ in ins]
     out_spec = pl.BlockSpec((bp, bc), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-    f32 = jax.ShapeDtypeStruct((npx_pad, nyp_pad), charge.dtype)
-    kernel = functools.partial(_accum_kernel, H, PADR, PADC, bp, bc)
+    f32 = jax.ShapeDtypeStruct((npx_pad, nyp_pad), chans[0].dtype)
+    kernel = functools.partial(_accum_kernel, xl, xh, yl, yh,
+                               PADR, PADC, bp, bc)
     o0, o1, o2 = pl.pallas_call(
         kernel, grid=grid,
         in_specs=in_specs,
@@ -145,5 +152,17 @@ def scatter_accumulate_padded_pallas(
         out_shape=(f32, f32, f32),
         interpret=interpret,
     )(*ins)
-    P = jnp.stack([o0[:npx, :nyp], o1[:npx, :nyp], o2[:npx, :nyp]], axis=-1)
-    return P, ScatterStats(clamped=clamped)
+    return ((o0[:npx, :nyp], o1[:npx, :nyp], o2[:npx, :nyp]),
+            ScatterStats(clamped=clamped))
+
+
+def scatter_accumulate_padded_pallas(
+        xrel: jnp.ndarray, yrel: jnp.ndarray, charge, active: jnp.ndarray,
+        halo, *, block_x: int = 64,
+        interpret: bool = False) -> Tuple[jnp.ndarray, ScatterStats]:
+    """Drop-in replacement for pic.scatter_accumulate_padded (3 channels):
+    the channel-plane core stacked into [nx+xl+xh, ny+yl+yh, 3]."""
+    planes, st = scatter_padded_channels_pallas(
+        xrel, yrel, charge, active, halo, block_x=block_x,
+        interpret=interpret)
+    return jnp.stack(planes, axis=-1), st

@@ -70,10 +70,11 @@ def grid_specs(grid: Grid2D) -> Grid2D:
 
 
 def state_specs() -> ModelState2D:
+    pxy = P("x", "y")
     return ModelState2D(
         state=P("x", "y", None),
-        particles=Particles2D(z=P("x", "y", None), t=P("x", "y"),
-                              dt=P("x", "y"), on=P("x", "y")),
+        particles=Particles2D(lne=pxy, cgx=pxy, cgy=pxy, px=pxy, py=pxy,
+                              t=pxy, dt=pxy, on=pxy),
         time=P(), iteration=P(),
         metrics=StepMetrics(*([P()] * len(StepMetrics._fields))))
 
@@ -102,39 +103,49 @@ class ShardedWaveGrowth2D:
     # ------------------------------------------------------------------
 
     def _scatter_sharded(self, xrel, yrel, charge, act):
-        """Local accumulate + ppermute halo exchange + boundary folds."""
+        """Local accumulate + ppermute halo exchange + boundary folds.
+
+        Halo slab widths follow the (possibly asymmetric) halo bounds: the
+        low-side slab (width x_lo) belongs to the left neighbor's tail, the
+        high-side slab (width x_hi) to the right neighbor's head.
+        """
         model = self.model
-        H = model.config.halo
+        (xl, xh), (yl, yh) = pic.normalize_halo(model.config.halo)
         st = model.grid.stats
         nxd, nyd = self.nx_dev, self.ny_dev
 
-        Pacc, stats = pic.scatter_accumulate_padded(xrel, yrel, charge, act, H)
-        nxl = Pacc.shape[0] - 2 * H
-        nyl = Pacc.shape[1] - 2 * H
+        Pacc, stats = pic.scatter_accumulate_padded(xrel, yrel, charge, act,
+                                                    model.config.halo)
+        nxl = Pacc.shape[0] - xl - xh
+        nyl = Pacc.shape[1] - yl - yh
 
         # ---- x axis ----
         wrap_x = st.bx == Boundary.PERIODIC or st.bx == Boundary.TRIPOLAR_NORTH
-        left_halo = Pacc[:H]              # belongs to left neighbor's tail
-        right_halo = Pacc[H + nxl:]       # belongs to right neighbor's head
-        from_right = jax.lax.ppermute(left_halo, "x",
-                                      _ring_perm(nxd, wrap_x, reverse=True))
-        from_left = jax.lax.ppermute(right_halo, "x",
-                                     _ring_perm(nxd, wrap_x, reverse=False))
-        Q = Pacc[H:H + nxl]
-        Q = Q.at[nxl - H:].add(from_right)
-        Q = Q.at[:H].add(from_left)
+        Q = Pacc[xl:xl + nxl]
+        if xl:
+            left_halo = Pacc[:xl]         # belongs to left neighbor's tail
+            from_right = jax.lax.ppermute(left_halo, "x",
+                                          _ring_perm(nxd, wrap_x, reverse=True))
+            Q = Q.at[nxl - xl:].add(from_right)
+        if xh:
+            right_halo = Pacc[xl + nxl:]  # belongs to right neighbor's head
+            from_left = jax.lax.ppermute(right_halo, "x",
+                                         _ring_perm(nxd, wrap_x, reverse=False))
+            Q = Q.at[:xh].add(from_left)
 
         # ---- y axis ----
         wrap_y = st.by == Boundary.PERIODIC
-        bot_halo = Q[:, :H]
-        top_halo = Q[:, H + nyl:]
-        from_top = jax.lax.ppermute(bot_halo, "y",
-                                    _ring_perm(nyd, wrap_y, reverse=True))
-        from_bot = jax.lax.ppermute(top_halo, "y",
-                                    _ring_perm(nyd, wrap_y, reverse=False))
-        S = Q[:, H:H + nyl]
-        S = S.at[:, nyl - H:].add(from_top)
-        S = S.at[:, :H].add(from_bot)
+        top_halo = Q[:, yl + nyl:]
+        S = Q[:, yl:yl + nyl]
+        if yl:
+            bot_halo = Q[:, :yl]
+            from_top = jax.lax.ppermute(bot_halo, "y",
+                                        _ring_perm(nyd, wrap_y, reverse=True))
+            S = S.at[:, nyl - yl:].add(from_top)
+        if yh:
+            from_bot = jax.lax.ppermute(top_halo, "y",
+                                        _ring_perm(nyd, wrap_y, reverse=False))
+            S = S.at[:, :yh].add(from_bot)
 
         if st.by == Boundary.TRIPOLAR_NORTH:
             # global x-flip fold of the top halo; only the top y-row of
@@ -145,7 +156,7 @@ class ShardedWaveGrowth2D:
             iy = jax.lax.axis_index("y")
             is_top = (iy == nyd - 1).astype(S.dtype)
             my_x0 = ix * nxl
-            for k in range(H):
+            for k in range(yh):
                 row = full_top[:, k]                       # [nx_glob, C]
                 folded = jnp.roll(row[::-1], -1, axis=0)    # x' = nx-2-x mod nx
                 my_slice = jax.lax.dynamic_slice_in_dim(folded, my_x0, nxl, 0)

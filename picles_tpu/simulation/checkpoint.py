@@ -19,7 +19,7 @@ import numpy as np
 from ..models.state import (ModelState1D, ModelState2D, Particles1D,
                             Particles2D, StepMetrics)
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: Particles2D stores 5 component planes, not z
 
 
 def save_checkpoint(path: str, ms) -> str:
@@ -50,7 +50,8 @@ def load_checkpoint(path: str):
     if kind == "ModelState2D":
         template = ModelState2D(
             state=None,
-            particles=Particles2D(z=None, t=None, dt=None, on=None),
+            particles=Particles2D(lne=None, cgx=None, cgy=None, px=None,
+                                  py=None, t=None, dt=None, on=None),
             time=None, iteration=None, metrics=StepMetrics.zeros())
     elif kind == "ModelState1D":
         template = ModelState1D(

@@ -214,3 +214,68 @@ def test_merge_2d_angle_elementwise_batch():
     out = np.asarray(pic.merge_2d_angle(g, c))
     np.testing.assert_allclose(out[0], np.asarray(g[0] + c[0]), rtol=1e-6)
     np.testing.assert_allclose(out[1], np.asarray(g[1]))
+
+
+# ---------------------------------------------------------------------------
+# asymmetric halo bounds
+# ---------------------------------------------------------------------------
+
+def _directional_inputs(rng, nx, ny, lo=-0.8, hi=2.7):
+    xr = jnp.asarray(rng.uniform(lo, hi, (nx, ny)), jnp.float32)
+    yr = jnp.asarray(rng.uniform(lo, hi, (nx, ny)), jnp.float32)
+    ch = jnp.asarray(rng.uniform(0, 1, (nx, ny, 3)), jnp.float32)
+    act = jnp.asarray(rng.uniform(0, 1, (nx, ny)) > 0.3)
+    return xr, yr, ch, act
+
+
+def test_normalize_halo_forms():
+    assert pic.normalize_halo(3) == ((3, 3), (3, 3))
+    assert pic.normalize_halo((1, 2)) == ((1, 1), (2, 2))
+    assert pic.normalize_halo(((0, 3), (1, 2))) == ((0, 3), (1, 2))
+    assert pic.halo_max(((0, 3), (1, 2))) == 3
+
+
+@pytest.mark.parametrize("mode", ["dense", "dense_pallas"])
+def test_asymmetric_halo_matches_xla_oracle(mode):
+    """Displacements within ((1,3),(1,3)) deposit identically to the
+    unbounded XLA oracle, for every boundary combination."""
+    rng = np.random.default_rng(7)
+    nx, ny = 12, 10
+    xr, yr, ch, act = _directional_inputs(rng, nx, ny)
+    bounds = ((1, 3), (1, 3))
+    for bx in (Boundary.PERIODIC, Boundary.NONPERIODIC):
+        for by in (Boundary.PERIODIC, Boundary.NONPERIODIC):
+            st = _stats(nx, ny, bx, by)
+            kw = dict(interpret=True) if mode == "dense_pallas" else {}
+            S1, st1 = pic.scatter(xr, yr, ch, act, st, bounds, mode=mode, **kw)
+            S2, _ = pic.scatter(xr, yr, ch, act, st, 0, mode="xla")
+            np.testing.assert_allclose(np.asarray(S1), np.asarray(S2),
+                                       rtol=2e-5, atol=1e-6,
+                                       err_msg=f"bx={bx} by={by}")
+            assert int(st1.clamped) == 0
+
+
+def test_asymmetric_halo_tripolar_matches_xla():
+    rng = np.random.default_rng(8)
+    nx, ny = 12, 8
+    xr, yr, ch, act = _directional_inputs(rng, nx, ny, lo=-0.5, hi=2.5)
+    st = _stats(nx, ny, Boundary.PERIODIC, Boundary.TRIPOLAR_NORTH)
+    S1, _ = pic.scatter(xr, yr, ch, act, st, ((1, 3), (1, 3)), mode="dense")
+    S2, _ = pic.scatter(xr, yr, ch, act, st, 0, mode="xla")
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), rtol=2e-5,
+                               atol=1e-6)
+
+
+def test_asymmetric_halo_clamps_and_counts():
+    """Out-of-bounds displacement is clamped into [-lo, hi) and counted;
+    mass is still conserved on a periodic box."""
+    nx, ny = 8, 8
+    xr = jnp.zeros((nx, ny), jnp.float32).at[2, 2].set(2.9)  # > hi of 2
+    yr = jnp.zeros((nx, ny), jnp.float32)
+    ch = jnp.ones((nx, ny, 3), jnp.float32)
+    act = jnp.ones((nx, ny), bool)
+    st = _stats(nx, ny, Boundary.PERIODIC, Boundary.PERIODIC)
+    S, stats = pic.scatter(xr, yr, ch, act, st, ((0, 2), (0, 2)), mode="dense")
+    assert int(stats.clamped) == 1
+    np.testing.assert_allclose(np.sum(np.asarray(S), axis=(0, 1)),
+                               np.full(3, nx * ny), rtol=1e-5)

@@ -101,9 +101,9 @@ def test_sphere_aqua_blob_advection():
     z[..., 3:] = 0.0
     import dataclasses
     ms = dataclasses.replace(
-        ms, particles=Particles2D(z=jnp.asarray(z, jnp.float32),
-                                  t=ms.particles.t, dt=ms.particles.dt,
-                                  on=jnp.asarray(on)))
+        ms, particles=Particles2D.from_z(jnp.asarray(z, jnp.float32),
+                                      ms.particles.t, ms.particles.dt,
+                                      jnp.asarray(on)))
 
     step = jax.jit(model.step)
     ms1 = step(ms)

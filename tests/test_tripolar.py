@@ -182,8 +182,8 @@ def test_seam_crossing_in_model():
     z[i0, j0, 2] = 8.0  # northward
 
     ms = dataclasses.replace(
-        ms, particles=Particles2D(z=jnp.asarray(z), t=ms.particles.t,
-                                  dt=ms.particles.dt, on=jnp.asarray(on)))
+        ms, particles=Particles2D.from_z(jnp.asarray(z), ms.particles.t,
+                                      ms.particles.dt, jnp.asarray(on)))
     step = jax.jit(model.step)
     total_before = None
     for k in range(10):
