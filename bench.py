@@ -107,7 +107,7 @@ def main():
     except Exception:
         pass
 
-    nx = ny = int(sys.argv[1]) if len(sys.argv) > 1 else 768
+    nx = ny = int(sys.argv[1]) if len(sys.argv) > 1 else 1536
     pushes_per_s, s_per_step = bench_config(nx, ny)
     msg = (f"[bench] {nx}x{ny}: {pushes_per_s:.3e} pushes/s "
            f"({s_per_step*1e3:.2f} ms/step)")

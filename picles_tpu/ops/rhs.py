@@ -157,24 +157,55 @@ def rhs_core_2d(lne, cg_x, cg_y, u, v, M00, M01, M10, M11, pc,
                 c: RHSConsts, flags: TermFlags = TermFlags()):
     """Component-wise 2D RHS — elementwise ops only, usable inside Pallas
     kernels as well as the stacked-array wrapper.  Returns the 5 tendencies
-    (dlne, dcg_x, dcg_y, dx, dy)."""
-    c_bar = speed(cg_x, cg_y)
-    u_speed = speed(u, v)
+    (dlne, dcg_x, dcg_y, dx, dy).
 
-    c_gp_speed, k_p, omega_p = c_g_conversions(jnp.abs(c_bar), c.r_g, c.g)
+    Transcendental economy (this is ~60% of the step's VPU time, evaluated
+    8x per model step): every formula below is algebraically identical to
+    the module-level helpers but avoids redundant sqrt/pow —
+      - alpha only ever enters squared (I ~ alpha^2, S_dir ~ alpha^2), so
+        the wave-age clamp is applied to alpha^2 = u^2/(2 c_gp)^2 <= 500^2
+        with no square roots,
+      - alpha_p's denominator max(|c|, 1e-4)^2 == max(c^2, 1e-8),
+      - sin(2(phi_u - phi_c)) needs only squared norms (sin2_a_min_b's
+        |u||c| appears squared),
+      - D_tilde's e^(n lne) (k_p/e_T)^(2n) fuses into one
+        exp(n (lne + 2 log(k_p/e_T))) — one exp+log instead of exp+pow.
+    One sqrt remains (|c_gp| for omega_p)."""
+    c2 = cg_x ** 2 + cg_y ** 2
+    u2 = u ** 2 + v ** 2
+    rg2 = c.r_g * c.r_g
+    cgp2_raw = c2 / rg2                       # |c_gp|^2, unclamped
+
+    k_p = c.g / (4.0 * jnp.maximum(cgp2_raw, 1e-2))  # c_g_conversions clamp
+    omega_p = c.g / (2.0 * jnp.maximum(jnp.sqrt(c2) / c.r_g, 0.1))
     c_gp_x = cg_x / c.r_g
     c_gp_y = cg_y / c.r_g
 
-    alpha = alpha_func(u_speed, c_gp_speed)
-    a_p = alpha_p(u, v, c_gp_x, c_gp_y)
+    # alpha^2 with alpha_func's 500 clamp (alpha = u/(2 c_gp), unclamped
+    # denominator: u/0 -> inf -> clamp, exactly like the helper)
+    alpha2 = jnp.where(u2 / (4.0 * cgp2_raw) > 250000.0, 250000.0,
+                       u2 / (4.0 * cgp2_raw))
+    # alpha_p: (u c_gp_x + v c_gp_y) / (2 max(|c_gp|, 1e-4)^2)
+    a_p = (u * c_gp_x + v * c_gp_y) / (2.0 * jnp.maximum(cgp2_raw, 1e-8))
     H_p = H_beta(a_p, c.p)
     Delta_p = Delta_beta(a_p)
 
-    I_t = I_tilde(alpha, H_p, c.C_e) if flags.input else 0.0
-    D_t = D_tilde_lne(lne, k_p, c.e_T, c.n) if flags.dissipation else 0.0
+    I_t = c.C_e * H_p * alpha2 if flags.input else 0.0
+    if flags.dissipation:
+        D_t = jnp.exp(c.n * (lne + 2.0 * jnp.log(k_p / c.e_T)))
+    else:
+        D_t = 0.0
     S_cg_t = S_cg(lne, Delta_p, k_p, c.C_alpha) if flags.peak_shift else 0.0
-    S_dir_t = (S_dir(u, v, c_gp_x, c_gp_y, c.C_varphi, H_p)
-               if flags.direction else 0.0)
+    if flags.direction:
+        # sin(2(phi_u - phi_c)) via squared norms only
+        prod = u2 * cgp2_raw
+        safe = jnp.where(prod == 0, 1.0, prod)
+        sin2 = jnp.where(prod == 0, 0.0,
+                         (2.0 / safe) * (u * v * (2.0 * c_gp_y ** 2 - cgp2_raw)
+                                         - c_gp_x * c_gp_y * (2.0 * v ** 2 - u2)))
+        S_dir_t = alpha2 * c.C_varphi * H_p * sin2
+    else:
+        S_dir_t = 0.0
     S_sphere_t = pc * cg_x
 
     dlne = omega_p * c.r_g * S_cg_t + omega_p * (I_t - D_t)
