@@ -72,6 +72,9 @@ class WaveGrowth2DConfig:
     # is still governed by the embedded error controller (a too-large dt is
     # rejected and shrunk), but the steady-state substep count drops ~3-5x.
     dt_reset_mode: str = "auto"   # "auto" | "carry"
+    # remesh backend: "xla" (fused selects) or "pallas" (one VMEM pass;
+    # requires dt_reset_mode="carry" — the auto-dt path needs RHS evals)
+    remesh_mode: str = "xla"
     # CIC displacement capacity in cells (dense scatter modes): an int H
     # (symmetric) or ((x_lo, x_hi), (y_lo, y_hi)) bounds.  Directional
     # regimes (e.g. constant trade winds) only displace one way, so
@@ -136,6 +139,11 @@ class WaveGrowth2D:
                               if minimal_state is not None
                               else jnp.asarray(FR.MinimalState(2.0, 2.0, DT),
                                                config.dtype))
+
+        # concrete copies for pallas-kernel scalar baking (indexing the
+        # device array inside a trace would yield tracers)
+        self._minimal_e = float(self.minimal_state[0])
+        self._minimal_m2 = float(self.minimal_state[1])
 
         self.solver = SolverConfig(abstol=ode_settings.abstol,
                                    reltol=ode_settings.reltol,
@@ -343,6 +351,14 @@ class WaveGrowth2D:
             e_n, mx_n, my_n = S_sh[..., 0], S_sh[..., 1], S_sh[..., 2]
 
         # ---------------- REMESH ----------------
+        if cfg.remesh_mode == "pallas":
+            if cfg.dt_reset_mode != "carry":
+                raise ValueError('remesh_mode="pallas" requires '
+                                 'dt_reset_mode="carry"')
+            return self._remesh_pallas_tail(
+                ms, grid, active, boundary, lne, cgx, cgy, px, py, t, dt, on,
+                (e_n, mx_n, my_n), adv, failed, nan_mask, inf_mask,
+                emax_mask, relight, sc_stats, res_naccept, psum_axes)
         # winds at the pre-tick clock time (TimeSteppers.jl:144-151)
         u_i, v_i = self.winds(grid.x, grid.y,
                               jnp.broadcast_to(ms.time, t.shape))
@@ -441,6 +457,72 @@ class WaveGrowth2D:
                             metrics=metrics)
 
     # ------------------------------------------------------------------
+
+    def _remesh_pallas_tail(self, ms, grid, active, boundary,
+                            lne, cgx, cgy, px, py, t, dt, on,
+                            node_state, adv, failed, nan_mask, inf_mask,
+                            emax_mask, relight, sc_stats, res_naccept,
+                            psum_axes):
+        """Fused-remesh step tail (remesh_mode="pallas")."""
+        from ..ops.remesh_pallas import (GATHER_BIT, OFF_BIT, RESEED_BIT,
+                                         remesh_pallas)
+
+        cfg = self.config
+        sett = self.settings
+        if self.gridded_winds is not None:
+            u_k, v_k = gridded_pallas_samplers()
+            wind_fields = self.gridded_winds.pallas_linear_fields(
+                grid.x, grid.y, ms.time, float(sett.timestep))
+        else:
+            u_k, v_k = self.winds.u, self.winds.v
+            wind_fields = ()
+        d = self.defaults
+        defaults = None if d is None else (d.lne, d.cg_x, d.cg_y)
+        rm = remesh_pallas(
+            u_k, v_k, defaults, float(sett.timestep),
+            self._minimal_e, self._minimal_m2,
+            float(sett.wind_min_squared), float(sett.dtmin),
+            node_state, lne, cgx, cgy, px, py, dt, on, active, boundary,
+            grid.x, grid.y, ms.time, wind_fields=wind_fields,
+            block_x=cfg.pallas_block_x, interpret=cfg.pallas_interpret)
+
+        if psum_axes:
+            def _count(x):
+                return jax.lax.psum(jnp.sum(x).astype(jnp.int32), psum_axes)
+
+            def _maxred(x):
+                return jax.lax.pmax(jnp.max(x).astype(jnp.int32), psum_axes)
+        else:
+            def _count(x):
+                return jnp.sum(x).astype(jnp.int32)
+
+            def _maxred(x):
+                return jnp.max(x).astype(jnp.int32)
+
+        br = rm.branch
+        metrics = StepMetrics(
+            n_active=_count(adv),
+            n_failed=_count(failed),
+            n_nan_reset=_count(nan_mask),
+            n_inf_reset=_count(inf_mask),
+            n_emax_clamp=_count(emax_mask),
+            n_relight=_count(relight),
+            n_gather=_count((br & GATHER_BIT) != 0),
+            n_reseed=_count((br & RESEED_BIT) != 0),
+            n_off=_count((br & OFF_BIT) != 0),
+            n_clamped=(jax.lax.psum(jnp.asarray(sc_stats.clamped, jnp.int32),
+                                    psum_axes) if psum_axes
+                       else jnp.asarray(sc_stats.clamped, jnp.int32)),
+            substeps_max=_maxred(res_naccept))
+
+        particles = Particles2D(lne=rm.lne, cgx=rm.cgx, cgy=rm.cgy,
+                                px=rm.px, py=rm.py, t=t, dt=rm.dt, on=rm.on)
+        S = jnp.stack(node_state, axis=-1)
+        DT = jnp.asarray(sett.timestep, cfg.dtype)
+        return ModelState2D(state=S, particles=particles,
+                            time=ms.time + DT,
+                            iteration=ms.iteration + 1,
+                            metrics=metrics)
 
     # ------------------------------------------------------------------
     # layers (reference `layers` State dimension, WaveGrowthModels2D.jl:112-119;

@@ -1,0 +1,171 @@
+"""Pallas fused remesh kernel — gather/reseed/off state machine in VMEM.
+
+The remesh phase (reference NodeToParticle!, mapping_2D.jl:279-356) is pure
+elementwise work, but as XLA glue it spreads over ~8 separate fusions, each
+a full HBM pass over the particle planes (~0.25 ms/step at 1536^2).  This
+kernel runs the whole branch table — node-state gather, windsea reseed,
+switch-off, position zeroing, warm-restart dt clip — in one VMEM pass.
+
+Contracts:
+ - wind samplers are the same elementwise closures as the advance kernel:
+   ``u_wind(xn, yn, t, *wind_fields)``; the model clock enters through SMEM
+   so gridded winds' per-step linearization stays exact,
+ - the windsea reseed calls the same pure-jnp ``fetch_relations`` code the
+   XLA path uses, so both remesh backends are numerically identical
+   (cross-checked in tests),
+ - only ``dt_reset_mode="carry"`` is supported (the production config);
+   the Hairer auto-dt path needs RHS evaluations and stays on
+   ``auto_dt_pallas`` + XLA selects.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import fetch_relations as FR
+
+# branch bitfield values (metrics decode)
+GATHER_BIT = 1
+RESEED_BIT = 2
+OFF_BIT = 4
+
+
+class RemeshResult(NamedTuple):
+    lne: jnp.ndarray
+    cgx: jnp.ndarray
+    cgy: jnp.ndarray
+    px: jnp.ndarray
+    py: jnp.ndarray
+    dt: jnp.ndarray
+    on: jnp.ndarray        # bool
+    branch: jnp.ndarray    # int32 bitfield (GATHER/RESEED/OFF bits)
+
+
+def _remesh_kernel(u_wind: Callable, v_wind: Callable, defaults,
+                   timestep: float, minimal_e: float, minimal_m2: float,
+                   wind_min_squared: float, dtmin: float, n_wf: int,
+                   *refs):
+    (time_ref,) = refs[:1]  # SMEM (1, 1) model clock
+    (e_ref, mx_ref, my_ref, lne_ref, cgx_ref, cgy_ref, px_ref, py_ref,
+     dt_ref, on_ref, act_ref, bnd_ref, xn_ref, yn_ref) = refs[1:15]
+    wf = tuple(r[:] for r in refs[15:15 + n_wf])
+    (lne_o, cgx_o, cgy_o, px_o, py_o, dt_o, on_o, br_o) = refs[15 + n_wf:]
+
+    e_n, mx_n, my_n = e_ref[:], mx_ref[:], my_ref[:]
+    lne, cgx, cgy = lne_ref[:], cgx_ref[:], cgy_ref[:]
+    px, py = px_ref[:], py_ref[:]
+    dt = dt_ref[:]
+    on = on_ref[:] != 0
+    active = act_ref[:] != 0
+    boundary = bnd_ref[:] != 0
+    xn, yn = xn_ref[:], yn_ref[:]
+    t_i = time_ref[0, 0]
+
+    u_i = u_wind(xn, yn, t_i, *wf)
+    v_i = v_wind(xn, yn, t_i, *wf)
+    u_i = jnp.broadcast_to(jnp.asarray(u_i, lne.dtype), lne.shape)
+    v_i = jnp.broadcast_to(jnp.asarray(v_i, lne.dtype), lne.shape)
+    wind2 = u_i ** 2 + v_i ** 2
+
+    m2_n = mx_n ** 2 + my_n ** 2
+    gather = (active & ~boundary & (e_n >= minimal_e) & (m2_n >= minimal_m2))
+    reseed = active & ~gather & (wind2 >= wind_min_squared)
+    go_off = active & ~gather & ~reseed
+
+    # node -> particle transform (transforms.node_to_particle semantics)
+    tiny = jnp.asarray(1e-30, lne.dtype)
+    m2s = jnp.maximum(m2_n, tiny)
+    e_safe = jnp.maximum(e_n, tiny)
+    lne_g = jnp.log(e_safe)
+    cgx_g = mx_n * e_safe / (2.0 * m2s)
+    cgy_g = my_n * e_safe / (2.0 * m2s)
+
+    if defaults is None:
+        ws = FR.get_initial_windsea(u_i, v_i, timestep)
+        lne_s, cgx_s, cgy_s = (ws.lne.astype(lne.dtype),
+                               ws.cg_bar_x.astype(lne.dtype),
+                               ws.cg_bar_y.astype(lne.dtype))
+    else:
+        d_lne, d_cgx, d_cgy = defaults
+        lne_s = jnp.full_like(lne, d_lne)
+        cgx_s = jnp.full_like(lne, d_cgx)
+        cgy_s = jnp.full_like(lne, d_cgy)
+
+    lne_o[:] = jnp.where(gather, lne_g, jnp.where(reseed, lne_s, lne))
+    cgx_o[:] = jnp.where(gather, cgx_g, jnp.where(reseed, cgx_s, cgx))
+    cgy_o[:] = jnp.where(gather, cgy_g, jnp.where(reseed, cgy_s, cgy))
+    moved = gather | reseed
+    px_o[:] = jnp.where(moved, 0.0, px)
+    py_o[:] = jnp.where(moved, 0.0, py)
+    # warm-restart dt (dt_reset_mode="carry")
+    dt_o[:] = jnp.clip(dt, dtmin, timestep)
+    # Mosaic cannot select between i1 vectors: do it in i32
+    on_o[:] = jnp.where(active, moved.astype(jnp.int32),
+                        on.astype(jnp.int32))
+    br_o[:] = (jnp.where(gather, GATHER_BIT, 0)
+               + jnp.where(reseed, RESEED_BIT, 0)
+               + jnp.where(go_off, OFF_BIT, 0)).astype(jnp.int32)
+
+
+def remesh_pallas(u_wind: Callable, v_wind: Callable,
+                  defaults: Optional[Tuple[float, float, float]],
+                  timestep: float, minimal_e: float, minimal_m2: float,
+                  wind_min_squared: float, dtmin: float,
+                  node_state: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+                  lne, cgx, cgy, px, py, dt, on, active, boundary,
+                  xn, yn, time_scalar,
+                  wind_fields: Tuple[jnp.ndarray, ...] = (),
+                  block_x: int = 0,
+                  interpret: bool = False) -> RemeshResult:
+    """Fused remesh over [nx, ny] planes.
+
+    ``defaults``: None for windsea reseeding, or (lne, cgx, cgy) floats for
+    fixed ParticleDefaults.  ``time_scalar``: the model clock (traced scalar,
+    enters via SMEM).
+    """
+    nx, ny = lne.shape
+    if block_x <= 0:
+        vmem_budget = 8 * 1024 * 1024
+        block_x = max(8, vmem_budget // (ny * 30 * 4))
+    bx = min(block_x, nx)
+    while nx % bx:
+        bx -= 1
+    grid = (nx // bx,)
+
+    def spec():
+        return pl.BlockSpec((bx, ny), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tarr = jnp.asarray(time_scalar, lne.dtype).reshape(1, 1)
+
+    e_n, mx_n, my_n = node_state
+    ins = [tarr, e_n, mx_n, my_n, lne, cgx, cgy, px, py, dt,
+           on.astype(jnp.int32), active.astype(jnp.int32),
+           boundary.astype(jnp.int32), xn, yn]
+    ins += [jnp.broadcast_to(jnp.asarray(f, lne.dtype), lne.shape)
+            for f in wind_fields]
+
+    f32 = jax.ShapeDtypeStruct((nx, ny), lne.dtype)
+    i32 = jax.ShapeDtypeStruct((nx, ny), jnp.int32)
+    out_shape = (f32, f32, f32, f32, f32, f32, i32, i32)
+
+    kernel = functools.partial(_remesh_kernel, u_wind, v_wind, defaults,
+                               timestep, minimal_e, minimal_m2,
+                               wind_min_squared, dtmin, len(wind_fields))
+    outs = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[smem] + [spec() for _ in ins[1:]],
+        out_specs=tuple(spec() for _ in out_shape),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*ins)
+    (lne_o, cgx_o, cgy_o, px_o, py_o, dt_o, on_o, br) = outs
+    return RemeshResult(lne=lne_o, cgx=cgx_o, cgy=cgy_o, px=px_o, py=py_o,
+                        dt=dt_o, on=on_o != 0, branch=br)

@@ -139,3 +139,101 @@ def test_auto_dt_pallas_matches_xla():
                           reltol=mx.settings.reltol, interpret=True)
     np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_xla),
                                rtol=1e-4, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# fused remesh kernel (ops/remesh_pallas.py)
+# ---------------------------------------------------------------------------
+
+def _carry_models(winds, n=24, remesh="pallas"):
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(100e3, n, 100e3, n, periodic_boundary=(True, True))
+    mk = lambda rm: WaveGrowth2D(  # noqa: E731
+        grid, winds, sett,
+        config=WaveGrowth2DConfig(periodic_boundary=True,
+                                  advance_mode="pallas",
+                                  dt_reset_mode="carry",
+                                  remesh_mode=rm,
+                                  pallas_interpret=True))
+    return mk("xla"), mk(remesh)
+
+
+def test_remesh_pallas_matches_xla_constant_winds():
+    mx, mp = _carry_models(constant_winds(10.0, 5.0))
+    sx, sp = mx.init_state(), mp.init_state()
+    for _ in range(3):
+        sx = mx.step(sx)
+        sp = mp.step(sp)
+    np.testing.assert_allclose(np.asarray(sp.state), np.asarray(sx.state),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sp.particles.dt),
+                               np.asarray(sx.particles.dt), rtol=1e-5)
+    for f in ("n_gather", "n_reseed", "n_off", "n_active", "n_failed"):
+        assert int(getattr(sp.metrics, f)) == int(getattr(sx.metrics, f)), f
+
+
+def test_remesh_pallas_reseed_and_off_branches():
+    """Half-domain winds drive the off (and possibly reseed) branches
+    through the fused kernel identically to the XLA selects."""
+    from picles_tpu.forcing.winds import half_domain_winds
+
+    winds = half_domain_winds(10.0, 5.0, x_split=50e3)
+    mx, mp = _carry_models(winds, n=16)
+    sx, sp = mx.init_state(), mp.init_state()
+    seen_off = seen_reseed = 0
+    for _ in range(8):
+        sx = mx.step(sx)
+        sp = mp.step(sp)
+        seen_off += int(sp.metrics.n_off)
+        seen_reseed += int(sp.metrics.n_reseed)
+        assert int(sp.metrics.n_off) == int(sx.metrics.n_off)
+        assert int(sp.metrics.n_reseed) == int(sx.metrics.n_reseed)
+        # backends agree to ~1 ulp/step; growth amplifies rounding order
+        np.testing.assert_allclose(np.asarray(sp.state), np.asarray(sx.state),
+                                   rtol=1e-2, atol=1e-8)
+    assert seen_off > 0 or seen_reseed > 0  # the sweep must hit the branches
+
+
+def test_remesh_pallas_gridded_winds():
+    import math
+
+    from picles_tpu.forcing.winds import GriddedWinds2D
+
+    nt, ngx, ngy = 8, 12, 12
+    tg = np.linspace(0, 8 * 3600.0, nt)
+    xg = np.linspace(0, 100e3, ngx)
+    u = np.zeros((nt, ngx, ngy), np.float32)
+    for k in range(nt):
+        u[k] = 8.0 + 4.0 * math.sin(2 * math.pi * k / nt)
+    gw = GriddedWinds2D(u_data=jnp.asarray(u), v_data=jnp.asarray(0.3 * u),
+                        x0=0.0, dx=float(xg[1] - xg[0]),
+                        y0=0.0, dy=float(xg[1] - xg[0]),
+                        t0=0.0, dt=float(tg[1] - tg[0]))
+    mx, mp = _carry_models(gw, n=12)
+    sx, sp = mx.init_state(), mp.init_state()
+    for _ in range(4):
+        sx = mx.step(sx)
+        sp = mp.step(sp)
+    np.testing.assert_allclose(np.asarray(sp.state), np.asarray(sx.state),
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_remesh_pallas_requires_carry():
+    import pytest
+
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(100e3, 8, 100e3, 8, periodic_boundary=(True, True))
+    m = WaveGrowth2D(grid, constant_winds(10.0, 5.0), sett,
+                     config=WaveGrowth2DConfig(remesh_mode="pallas",
+                                               dt_reset_mode="auto",
+                                               pallas_interpret=True))
+    with pytest.raises(ValueError):
+        m.step(m.init_state())
