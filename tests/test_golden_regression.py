@@ -1,0 +1,91 @@
+"""Golden numerical regression lock.
+
+Pins the Eulerian state of the canonical forced-box configuration
+(16x16 periodic, U10 = V10 = 10 m/s, DT = 10 min — the T04/example_00
+regime, reference tests/T04_2D_reg_test.jl) at several steps, so physics
+or kernel refactors that silently change the model's numbers fail loudly.
+Values generated from the XLA reference-semantics path (commit-pinned);
+tolerances allow float32 reassociation across backends/fusion changes but
+not physics drift.
+"""
+
+import numpy as np
+import pytest
+
+from picles_tpu.core import fetch_relations as FR
+from picles_tpu.core.constants import ODESettings
+from picles_tpu.forcing.winds import constant_winds
+from picles_tpu.grids.cartesian import cartesian_box
+from picles_tpu.models.wave_growth_2d import WaveGrowth2D, WaveGrowth2DConfig
+
+# step -> (e, m_x, m_y at node [8, 8]; total energy)
+GOLDEN = {
+    1: (2.6601294056e-02, 5.8118612505e-03, 5.8118626475e-03, 6.8099288940e+00),
+    3: (6.8227678537e-02, 1.0814460926e-02, 1.0814462788e-02, 1.7456176758e+01),
+    6: (1.2437192351e-01, 1.5976365656e-02, 1.5976369381e-02, 3.1839179993e+01),
+    12: (2.2151815891e-01, 2.3117808625e-02, 2.3117808625e-02, 5.6708633423e+01),
+}
+
+
+def _model(**cfg_kw):
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(100e3, 16, 100e3, 16, periodic_boundary=(True, True))
+    return WaveGrowth2D(grid, constant_winds(10.0, 10.0), sett,
+                        config=WaveGrowth2DConfig(periodic_boundary=True,
+                                                  **cfg_kw))
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(),                                                    # XLA reference
+    dict(advance_mode="pallas", pallas_interpret=True),        # fused advance
+    dict(advance_mode="pallas", pallas_interpret=True,
+         scatter_mode="dense_pallas"),                         # + fused deposit
+    dict(advance_mode="pallas", pallas_interpret=True,
+         scatter_mode="dense_pallas", dt_reset_mode="carry",
+         remesh_mode="pallas"),                                # production stack
+    dict(halo=((1, 3), (1, 3))),                               # asym capacity
+], ids=["xla", "pallas-adv", "pallas-adv+scatter", "pallas-full", "asym-halo"])
+def test_forced_box_golden(cfg):
+    m = _model(**cfg)
+    ms = m.init_state()
+    # carry-mode dt policy changes substep placement within tolerance of the
+    # error controller; the pallas kernels reassociate float32 FMAs (~1e-4
+    # relative after a few growth steps); the XLA path must match tightly
+    if cfg.get("dt_reset_mode") == "carry":
+        rtol_pt = rtol_sum = 2e-3
+    elif cfg.get("advance_mode") == "pallas":
+        rtol_pt = rtol_sum = 1e-3
+    else:
+        rtol_pt = rtol_sum = 1e-4
+    for k in sorted(GOLDEN):
+        while int(ms.iteration) < k:
+            ms = m.step(ms)
+        e, mx, my, sumE = GOLDEN[k]
+        S = np.asarray(ms.state)
+        np.testing.assert_allclose(S[8, 8, 0], e, rtol=rtol_pt,
+                                   err_msg=f"e at step {k}")
+        np.testing.assert_allclose(S[8, 8, 1], mx, rtol=rtol_pt,
+                                   err_msg=f"m_x at step {k}")
+        np.testing.assert_allclose(S[8, 8, 2], my, rtol=rtol_pt,
+                                   err_msg=f"m_y at step {k}")
+        np.testing.assert_allclose(S[..., 0].sum(), sumE, rtol=rtol_sum,
+                                   err_msg=f"sum E at step {k}")
+    assert int(ms.metrics.n_failed) == 0
+    assert int(ms.metrics.n_clamped) == 0
+
+
+def test_determinism_bitwise():
+    """Same input -> bitwise same state (the reference's threaded scatter
+    races, SURVEY §5; the TPU build is deterministic by construction)."""
+    m = _model()
+    a, b = m.init_state(), m.init_state()
+    for _ in range(3):
+        a = m.step(a)
+        b = m.step(b)
+    assert np.array_equal(np.asarray(a.state), np.asarray(b.state))
+    assert np.array_equal(np.asarray(a.particles.lne),
+                          np.asarray(b.particles.lne))
