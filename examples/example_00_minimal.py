@@ -5,6 +5,12 @@
 Run:  python examples/example_00_minimal.py [outdir]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 
 import numpy as np

@@ -4,6 +4,12 @@ a swell blob crosses the sphere along great circles with no forcing.
 Run:  python examples/example_01_sphere_swell.py [outdir]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import dataclasses
 import math
 import sys

@@ -7,6 +7,12 @@ real MOM6 ocean_hgrid file to run the production grid:
 Run:  python examples/example_02_tripolar_global.py [outdir]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 
 import jax

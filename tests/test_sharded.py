@@ -94,3 +94,57 @@ def test_sharded_scan():
     ms2, states = jax.jit(sharded.step_n, static_argnums=1)(ms, 3)
     assert states.shape[0] == 3
     assert np.all(np.isfinite(np.asarray(ms2.state)))
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_sharded_asymmetric_halo_matches_single_device(mesh_shape):
+    """Asymmetric halo bounds change the ppermute slab widths (lo-side and
+    hi-side slabs differ); the exchange must still reproduce the
+    single-device fold."""
+    grid = cartesian_box(100e3, 32, 100e3, 24, periodic_boundary=(True, True))
+    cfg = WaveGrowth2DConfig(periodic_boundary=True, halo=((1, 3), (0, 2)))
+    model = WaveGrowth2D(grid, constant_winds(10.0, 5.0), _settings(), config=cfg)
+    mesh = make_mesh(shape=mesh_shape)
+    sharded = ShardedWaveGrowth2D(model, mesh)
+
+    ms0 = model.init_state()
+    ref = ms0
+    step_ref = jax.jit(model.step)
+    for _ in range(3):
+        ref = step_ref(ref)
+    msh = sharded.shard_state(ms0)
+    for _ in range(3):
+        msh = sharded.step(msh)
+
+    np.testing.assert_allclose(np.asarray(msh.state), np.asarray(ref.state),
+                               rtol=2e-3, atol=1e-10)
+    assert int(msh.metrics.n_clamped) == int(ref.metrics.n_clamped)
+
+
+def test_sharded_zero_lo_halo_tripolar():
+    """Tripolar seam with an asymmetric ((0,3),(0,3)) halo: the top slab
+    all-gather fold uses the hi bound; zero-width lo slabs skip their
+    ppermute entirely."""
+    import dataclasses
+
+    model = _model(nx=32, ny=24, periodic=True, U=10.0, V=5.0)
+    g = model.grid
+    stats = dataclasses.replace(g.stats, bx=Boundary.PERIODIC,
+                                by=Boundary.TRIPOLAR_NORTH)
+    model.grid = dataclasses.replace(g, stats=stats)
+    model.active_mask = model.grid.ocean_point_mask(True)
+    model.boundary_mask = model.grid.boundary_point_mask(True)
+    model.config = dataclasses.replace(model.config, halo=((0, 3), (0, 3)))
+    mesh = make_mesh(shape=(4, 2))
+    sharded = ShardedWaveGrowth2D(model, mesh)
+
+    ms0 = model.init_state()
+    ref = ms0
+    step_ref = jax.jit(model.step)
+    for _ in range(2):
+        ref = step_ref(ref)
+    msh = sharded.shard_state(ms0)
+    for _ in range(2):
+        msh = sharded.step(msh)
+    np.testing.assert_allclose(np.asarray(msh.state), np.asarray(ref.state),
+                               rtol=2e-3, atol=1e-10)
