@@ -187,6 +187,63 @@ def idealized_wind_grid_1d(u_func, Lx: float, T: float, dx: float,
                           dt=dt)
 
 
+def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
+                          v_name: str = "v10", x_name: str = "longitude",
+                          y_name: str = "latitude", t_name: str = "time",
+                          mode: str = "nearest") -> GriddedWinds2D:
+    """Load (t, x, y) wind fields from a NetCDF file into GriddedWinds2D.
+
+    The analog of the reference's NCDatasets-based wind forcing
+    (tests/T03_PIC_tripolar_realistic.jl:54, T04_2D_reg_test_netCDF.jl,
+    B02_2D_regtest_netCDF.jl).  Reads NetCDF-4 via h5py with a scipy
+    NetCDF-3 fallback (same strategy as grids.tripolar.load_mom6_grid).
+    Axes must be uniform (linear-index interpolation); data stored
+    [t, y, x] (CF convention) is transposed to [t, x, y].
+    """
+    import numpy as np
+
+    names = [u_name, v_name, x_name, y_name, t_name]
+
+    def _read(p):
+        try:
+            import h5py
+            with h5py.File(p, "r") as f:
+                return {n: np.asarray(f[n]) for n in names}
+        except (OSError, KeyError):
+            from scipy.io import netcdf_file
+            with netcdf_file(p, "r", mmap=False) as f:
+                return {n: np.asarray(f.variables[n].data) for n in names}
+
+    v = _read(path)
+    xs, ys, ts = (np.asarray(v[x_name], np.float64),
+                  np.asarray(v[y_name], np.float64),
+                  np.asarray(v[t_name], np.float64))
+
+    def _uniform(a, name):
+        if a.size > 1:
+            d = np.diff(a)
+            if not np.allclose(d, d[0], rtol=1e-4):
+                raise ValueError(f"{name} axis is not uniform")
+            return float(a[0]), float(d[0])
+        return float(a[0]), 1.0
+
+    x0, dx = _uniform(xs, x_name)
+    y0, dy = _uniform(ys, y_name)
+    t0, dt = _uniform(ts, t_name)
+
+    def _txy(a):
+        a = np.asarray(a, np.float32)
+        if a.shape == (ts.size, ys.size, xs.size):   # CF [t, y, x]
+            return np.transpose(a, (0, 2, 1))
+        if a.shape == (ts.size, xs.size, ys.size):
+            return a
+        raise ValueError(f"wind variable shape {a.shape} does not match axes")
+
+    return GriddedWinds2D(u_data=jnp.asarray(_txy(v[u_name])),
+                          v_data=jnp.asarray(_txy(v[v_name])),
+                          x0=x0, dx=dx, y0=y0, dy=dy, t0=t0, dt=dt, mode=mode)
+
+
 def slopped_blob(x, t, U10, V, T, x_scale, t_scale, x0=300e3):
     """Moving Gaussian wind blob (reference WindEmulator.jl:50-52)."""
     x = jnp.asarray(x)

@@ -141,3 +141,60 @@ def test_step_timer():
             ms = step(ms)
     s = timer.summary()
     assert s["n"] == 3 and s["mean_s"] > 0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """orbax backend: bit-exact restore, rebuilt by field name (dict
+    flattening order differs from dataclass order)."""
+    import jax
+    import numpy as np
+
+    from picles_tpu.simulation.checkpoint import (load_checkpoint,
+                                                  save_checkpoint)
+
+    m = _model()
+    ms = m.init_state()
+    for _ in range(2):
+        ms = m.step(ms)
+    p = save_checkpoint(str(tmp_path / "ck_orbax"), ms, backend="orbax")
+    back = load_checkpoint(p)
+    for a, b in zip(jax.tree.leaves(ms), jax.tree.leaves(back)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    a = m.step(ms)
+    b = m.step(back)
+    assert np.array_equal(np.asarray(a.state), np.asarray(b.state))
+
+
+def test_load_gridded_winds_netcdf(tmp_path):
+    """NetCDF wind forcing loader (ERA5-style file) -> GriddedWinds2D with
+    CF [t, y, x] transposition and uniform-axis metadata."""
+    import h5py
+    import numpy as np
+    import jax.numpy as jnp
+
+    from picles_tpu.forcing.winds import load_gridded_winds_2d
+
+    nt, ny_, nx_ = 4, 6, 5
+    ts = np.arange(nt) * 3600.0
+    xs = np.linspace(0.0, 40e3, nx_)
+    ys = np.linspace(0.0, 50e3, ny_)
+    u = np.arange(nt * ny_ * nx_, dtype=np.float32).reshape(nt, ny_, nx_)
+    v = -u
+    path = str(tmp_path / "winds.nc")
+    with h5py.File(path, "w") as f:
+        f["u10"] = u
+        f["v10"] = v
+        f["longitude"] = xs
+        f["latitude"] = ys
+        f["time"] = ts
+    gw = load_gridded_winds_2d(path)
+    assert gw.u_data.shape == (nt, nx_, ny_)
+    # exact on-node, on-frame sample
+    got = float(gw.u(jnp.asarray(xs[2]), jnp.asarray(ys[3]), jnp.asarray(ts[1])))
+    assert got == float(u[1, 3, 2])
+    got_v = float(gw.v(jnp.asarray(xs[2]), jnp.asarray(ys[3]), jnp.asarray(ts[1])))
+    assert got_v == -float(u[1, 3, 2])
+    # halfway between frames: linear in time
+    mid = float(gw.u(jnp.asarray(xs[2]), jnp.asarray(ys[3]),
+                     jnp.asarray(0.5 * (ts[1] + ts[2]))))
+    assert abs(mid - 0.5 * (u[1, 3, 2] + u[2, 3, 2])) < 1e-3
