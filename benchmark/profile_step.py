@@ -8,10 +8,9 @@ Times (by scan-length difference, like bench.py) jitted sub-pipelines:
 so the cost of each phase is the difference of consecutive rows.
 """
 
+import dataclasses
 import sys
 import time
-
-import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +45,7 @@ def main():
     model = build(nx, ny)
     ms0 = model.init_state()
 
-    from picles_tpu.forcing.winds import gridded_pallas_samplers
+    from picles_tpu.models.state import Particles2D
     from picles_tpu.ops import pic
     from picles_tpu.ops import transforms as TR
     from picles_tpu.ops.advance_pallas import advance_pallas
@@ -62,9 +61,10 @@ def main():
         adv = P.on & model.active_mask
         pres = advance_pallas(model.winds.u, model.winds.v, consts,
                               model.flags, model.solver,
-                              float(sett.timestep), P.z, P.t, P.dt, adv,
+                              float(sett.timestep),
+                              (P.lne, P.cgx, P.cgy, P.px, P.py),
+                              P.t, P.dt, adv,
                               g.x, g.y, model.uniform_proj or g.proj, g.pc)
-        from picles_tpu.models.state import Particles2D
         return dataclasses.replace(ms, particles=Particles2D(
             lne=pres.lne, cgx=pres.cgx, cgy=pres.cgy, px=pres.x, py=pres.y,
             t=pres.t, dt=pres.dt, on=P.on),
@@ -72,22 +72,22 @@ def main():
 
     def advance_scatter(ms):
         ms2 = advance_only(ms)
-        z = ms2.particles.z
-        e, mx, my = TR.particle_to_node(z[..., 0], z[..., 1], z[..., 2])
-        charge = jnp.stack([e, mx, my], axis=-1)
-        S, _ = pic.scatter(z[..., 3], z[..., 4], charge,
-                           ms2.particles.on & model.active_mask,
-                           g.stats, model.config.halo,
-                           model.config.scatter_mode)
-        return dataclasses.replace(ms2, state=S)
+        P = ms2.particles
+        e, mx, my = TR.particle_to_node(P.lne, P.cgx, P.cgy)
+        (e_n, mx_n, my_n), _ = pic.scatter_channels(
+            P.px, P.py, (e, mx, my), P.on & model.active_mask,
+            g.stats, model.config.halo, model.config.scatter_mode)
+        return dataclasses.replace(
+            ms2, state=jnp.stack([e_n, mx_n, my_n], axis=-1))
 
     def reseed_only(ms):
         u, v = model.winds(g.x, g.y, jnp.broadcast_to(ms.time, g.x.shape))
         u = jnp.broadcast_to(jnp.asarray(u, ms.particles.t.dtype), g.x.shape)
         v = jnp.broadcast_to(jnp.asarray(v, ms.particles.t.dtype), g.x.shape)
-        zr = model._reset_values(u, v)
+        lne, cgx, cgy = model._reset_values(u, v)
         return dataclasses.replace(ms, particles=dataclasses.replace(
-            ms.particles, z=zr), time=ms.time + sett.timestep)
+            ms.particles, lne=lne, cgx=cgx, cgy=cgy),
+            time=ms.time + sett.timestep)
 
     n_small, n_big = (50, 550) if nx * ny < 200_000 else (10, 40)
     rows = [("full step", model.step),
