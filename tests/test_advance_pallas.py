@@ -141,6 +141,63 @@ def test_auto_dt_pallas_matches_xla():
                                rtol=1e-4, atol=1e-8)
 
 
+def test_pallas_advance_per_node_projection_spherical():
+    """Spherical grids have per-node projection matrices and great-circle
+    coefficients — the fused kernel's streamed (non-uniform) proj/pc branch.
+    Propagation-only blob: pallas vs xla must agree on a sphere."""
+    import dataclasses
+    import math
+
+    from picles_tpu.grids.spherical import spherical_grid_2d
+    from picles_tpu.ops.rhs import TermFlags
+
+    DT = 1800.0
+    ws = FR.MinimalWindsea(1.0, 1.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=10 * 24 * 3600.0, dt=1.0,
+                       dtmin=1e-2, force_dtmin=True)
+    grid = spherical_grid_2d(0.0, 60.0, 16, 10.0, 50.0, 12,
+                             periodic_boundary=(True, False))
+    flags = TermFlags(input=False, dissipation=False, peak_shift=False,
+                      direction=False)
+
+    def mk(mode):
+        return WaveGrowth2D(
+            grid, constant_winds(0.0, 0.0), sett, flags=flags,
+            config=WaveGrowth2DConfig(periodic_boundary=True, halo=4,
+                                      advance_mode=mode,
+                                      pallas_interpret=True))
+
+    mx, mp = mk("xla"), mk("pallas")
+    assert mp.uniform_proj is None  # must exercise the streamed-proj branch
+
+    def plant(ms):
+        nx, ny = grid.nx, grid.ny
+        on = np.zeros((nx, ny), bool)
+        on[5:9, 4:8] = True
+        z = np.asarray(ms.particles.z).copy()
+        z[..., 0] = math.log(0.1)
+        z[..., 1] = 10.0
+        z[..., 2] = 0.0
+        z[..., 3:] = 0.0
+        import jax.numpy as jnp
+        from picles_tpu.models.state import Particles2D
+        return dataclasses.replace(
+            ms, particles=Particles2D.from_z(jnp.asarray(z, jnp.float32),
+                                             ms.particles.t, ms.particles.dt,
+                                             jnp.asarray(on)))
+
+    sx, sp = plant(mx.init_state()), plant(mp.init_state())
+    for _ in range(3):
+        sx = mx.step(sx)
+        sp = mp.step(sp)
+    np.testing.assert_allclose(np.asarray(sp.state), np.asarray(sx.state),
+                               rtol=5e-3, atol=1e-8)
+    assert int(sp.metrics.n_failed) == 0
+    # the great-circle term must actually act (equatorward momentum appears)
+    assert np.asarray(sp.state[..., 2]).min() < -1e-6
+
+
 # ---------------------------------------------------------------------------
 # fused remesh kernel (ops/remesh_pallas.py)
 # ---------------------------------------------------------------------------
