@@ -148,3 +148,72 @@ def test_sharded_zero_lo_halo_tripolar():
         msh = sharded.step(msh)
     np.testing.assert_allclose(np.asarray(msh.state), np.asarray(ref.state),
                                rtol=2e-3, atol=1e-10)
+
+
+def test_sharded_gridded_winds_matches_single_device():
+    """GriddedWinds2D (map_coordinates gather on replicated wind data)
+    inside the shard_map'd step: local shards sample with their absolute
+    coordinates, so the field must match the single-device run."""
+    from picles_tpu.forcing.winds import GriddedWinds2D
+
+    DT = 600.0
+    nxw = nyw = 10
+    # smooth (sinusoidal) winds: per-node white noise drives the adaptive
+    # solver into long reject/accept paths that amplify last-ulp
+    # vectorization differences between block shapes far past the solver
+    # tolerance — a property of adaptivity, not of the collective path
+    xi = np.arange(nxw)[None, :, None]
+    yi = np.arange(nyw)[None, None, :]
+    ti = np.arange(12)[:, None, None]
+    u = 8.0 + 2.0 * np.sin(2 * np.pi * (xi / nxw + 0.1 * ti))
+    v = 4.0 + 1.5 * np.cos(2 * np.pi * (yi / nyw - 0.07 * ti))
+    gw = GriddedWinds2D(
+        u_data=jnp.asarray(np.broadcast_to(u, (12, nxw, nyw)), jnp.float32),
+        v_data=jnp.asarray(np.broadcast_to(v, (12, nxw, nyw)), jnp.float32),
+        x0=0.0, dx=100e3 / (nxw - 1), y0=0.0, dy=100e3 / (nyw - 1),
+        t0=0.0, dt=2 * DT)
+    grid = cartesian_box(100e3, 32, 100e3, 24, periodic_boundary=(True, True))
+    model = WaveGrowth2D(grid, gw.as_winds(), _settings(DT),
+                         config=WaveGrowth2DConfig(periodic_boundary=True))
+    mesh = make_mesh(shape=(4, 2))
+    sharded = ShardedWaveGrowth2D(model, mesh)
+
+    ref = model.init_state()
+    step_ref = jax.jit(model.step)
+    msh = sharded.shard_state(model.init_state())
+    for _ in range(3):
+        ref = step_ref(ref)
+        msh = sharded.step(msh)
+    # agreement is at solver-tolerance level (reltol=1e-3 per substep,
+    # compounded over the adaptive path), not bitwise: different array
+    # shapes vectorize transcendentals differently at the last ulp and the
+    # error controller amplifies that into different (all valid) step paths
+    np.testing.assert_allclose(np.asarray(msh.state), np.asarray(ref.state),
+                               rtol=2e-2, atol=1e-6)
+    # the sharded wind sampling itself is exact: positions and clocks match
+    np.testing.assert_array_equal(np.asarray(msh.particles.t),
+                                  np.asarray(ref.particles.t))
+    for k in ("n_active", "n_gather", "n_reseed", "n_off", "n_failed"):
+        assert int(getattr(msh.metrics, k)) == int(getattr(ref.metrics, k)), k
+
+
+def test_sharded_pallas_advance_matches_single_device():
+    """The fused Pallas advance (interpret mode on CPU) runs inside
+    shard_map — the production multi-chip configuration."""
+    grid = cartesian_box(100e3, 32, 100e3, 24, periodic_boundary=(True, True))
+    cfg = WaveGrowth2DConfig(periodic_boundary=True, advance_mode="pallas",
+                             dt_reset_mode="carry", pallas_interpret=True)
+    model = WaveGrowth2D(grid, constant_winds(10.0, 5.0), _settings(),
+                         config=cfg)
+    mesh = make_mesh(devices=jax.devices()[:4], shape=(2, 2))
+    sharded = ShardedWaveGrowth2D(model, mesh)
+
+    ref = model.init_state()
+    step_ref = jax.jit(model.step)
+    msh = sharded.shard_state(model.init_state())
+    for _ in range(2):
+        ref = step_ref(ref)
+        msh = sharded.step(msh)
+    np.testing.assert_allclose(np.asarray(msh.state), np.asarray(ref.state),
+                               rtol=2e-3, atol=1e-10)
+    assert int(msh.metrics.n_failed) == 0
