@@ -66,13 +66,13 @@ def bench_config(nx, ny, n_small=None, n_big=None, reps=3):
     model = build(nx, ny)
     ms = model.init_state()
 
+    # dynamic trip count: ONE compiled executable serves every loop length
+    # (a static-length scan would compile separately for n_small and n_big,
+    # doubling cold-cache compile time — the dominant cost of this script)
     def run_n(ms, n):
-        def body(c, _):
-            return model.step(c), None
-        out, _ = jax.lax.scan(body, ms, None, length=n)
-        return out
+        return jax.lax.fori_loop(0, n, lambda _, c: model.step(c), ms)
 
-    run_jit = jax.jit(run_n, static_argnums=1)
+    run_jit = jax.jit(run_n)
 
     # spin-up to steady state + compile both scan lengths
     ms = run_jit(ms, 4)
