@@ -35,9 +35,13 @@ def build(nx, ny, advance_mode="pallas", dt_reset_mode="carry"):
 
     DT = 600.0
     ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    # solver="bosh3": Bogacki-Shampine 3(2) at the same error tolerances —
+    # 3 fresh RHS evals per substep vs Tsit5's 6 (both FSAL), same substep
+    # count at steady state, fields agree to ~1e-4 relative
+    # (tests/test_model_2d.py::test_bosh3_solver_matches_tsit5)
     sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
                        timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
-                       dtmin=1e-4, force_dtmin=True)
+                       dtmin=1e-4, force_dtmin=True, solver="bosh3")
     # keep the reference's 2 km node spacing at every size so the CIC
     # displacement per DT stays within the halo (Courant ~2.4 < 3)
     grid = cartesian_box(2e3 * (nx - 1), nx, 2e3 * (ny - 1), ny,

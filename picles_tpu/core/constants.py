@@ -115,3 +115,7 @@ class ODESettings:
     dtmin: float = 1e-4        # smallest allowed sub-step (seconds)
     force_dtmin: bool = True
     total_time: float = 60.0 * 60.0 * 24.0
+    # embedded-RK method: "tsit5" (the reference's AutoTsit5 family,
+    # particle_waves_v5.jl:47) or "bosh3" (Bogacki–Shampine 3(2) — half the
+    # RHS evals per substep at the same error tolerances)
+    solver: str = "tsit5"

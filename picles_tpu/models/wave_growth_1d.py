@@ -101,7 +101,10 @@ class WaveGrowth1D:
                                    reltol=ode_settings.reltol,
                                    dtmin=ode_settings.dtmin,
                                    force_dtmin=ode_settings.force_dtmin,
-                                   maxiters=ode_settings.maxiters)
+                                   maxiters=ode_settings.maxiters,
+                                   method=ode_settings.solver)
+        from ..ops.tsit5 import METHODS
+        self._rk_order = METHODS[ode_settings.solver].order
 
         nx = grid.nx
         bnd = np.zeros(nx, dtype=bool)
@@ -231,7 +234,8 @@ class WaveGrowth1D:
         on = jnp.where(~boundary, gather | reseed, on)
 
         was_reset = relight | bad | gather | reseed
-        dt_auto = auto_dt(self.rhs, t, z, aux, abstol=sett.abstol,
+        dt_auto = auto_dt(self.rhs, t, z, aux, order=self._rk_order,
+                          abstol=sett.abstol,
                           reltol=sett.reltol)
         dt = jnp.where(was_reset, jnp.clip(dt_auto, sett.dtmin, DT), dt)
 

@@ -149,7 +149,10 @@ class WaveGrowth2D:
                                    reltol=ode_settings.reltol,
                                    dtmin=ode_settings.dtmin,
                                    force_dtmin=ode_settings.force_dtmin,
-                                   maxiters=ode_settings.maxiters)
+                                   maxiters=ode_settings.maxiters,
+                                   method=ode_settings.solver)
+        from ..ops.tsit5 import METHODS
+        self._rk_order = METHODS[ode_settings.solver].order
 
         # static node masks
         self.active_mask = grid.ocean_point_mask(config.periodic_boundary)
@@ -410,6 +413,7 @@ class WaveGrowth2D:
                                      grid.x, grid.y,
                                      self.uniform_proj or grid.proj, grid.pc,
                                      abstol=sett.abstol, reltol=sett.reltol,
+                                     order=self._rk_order,
                                      block_x=cfg.pallas_block_x,
                                      wind_fields=wind_fields,
                                      interpret=cfg.pallas_interpret)
@@ -417,7 +421,8 @@ class WaveGrowth2D:
         else:
             dt_auto = auto_dt(self.rhs,
                               t, jnp.stack([lne, cgx, cgy, px, py], axis=-1),
-                              aux, abstol=sett.abstol, reltol=sett.reltol)
+                              aux, abstol=sett.abstol, reltol=sett.reltol,
+                              order=self._rk_order)
             dt = jnp.where(was_reset, jnp.clip(dt_auto, sett.dtmin, DT), dt)
 
         if psum_axes:

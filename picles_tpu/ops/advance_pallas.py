@@ -31,10 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rhs import RHSConsts, TermFlags, rhs_core_2d
-from .tsit5 import (_A21, _A31, _A32, _A41, _A42, _A43, _A51, _A52, _A53,
-                    _A54, _A61, _A62, _A63, _A64, _A65, _B1, _B2, _B3, _B4,
-                    _B5, _B6, _BT1, _BT2, _BT3, _BT4, _BT5, _BT6, _BT7, _C,
-                    _ORDER, _QMAX, _QMIN, _SAFETY, SolverConfig)
+from .tsit5 import _QMAX, _QMIN, _SAFETY, METHODS, SolverConfig
 
 
 class PallasAdvanceResult(NamedTuple):
@@ -106,6 +103,7 @@ def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
         at_dtmin = dt_try <= config.dtmin * (1.0 + 1e-8)
 
         z = (lne, cgx, cgy, px, py)
+        method = METHODS[config.method]
 
         def fma(coeffs, ks):
             # z + dt * sum(a_i k_i), componentwise over the 5 state vars
@@ -113,32 +111,26 @@ def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
             for comp in range(5):
                 acc = z[comp]
                 for a, k in zip(coeffs, ks):
-                    acc = acc + dt_try * a * k[comp]
+                    if a != 0.0:
+                        acc = acc + dt_try * a * k[comp]
                 out.append(acc)
             return tuple(out)
 
-        k2 = rhs(t + _C[0] * dt_try, *fma((_A21,), (k1,))[:3])
-        k3 = rhs(t + _C[1] * dt_try, *fma((_A31, _A32), (k1, k2))[:3])
-        k4 = rhs(t + _C[2] * dt_try,
-                 *fma((_A41, _A42, _A43), (k1, k2, k3))[:3])
-        k5 = rhs(t + _C[3] * dt_try,
-                 *fma((_A51, _A52, _A53, _A54), (k1, k2, k3, k4))[:3])
-        k6 = rhs(t + dt_try,
-                 *fma((_A61, _A62, _A63, _A64, _A65),
-                      (k1, k2, k3, k4, k5))[:3])
-        z_new = fma((_B1, _B2, _B3, _B4, _B5, _B6),
-                    (k1, k2, k3, k4, k5, k6))
-        k7 = rhs(t + dt_try, *z_new[:3])
+        # generic embedded-RK stage unroll (trace-time loop over the tableau)
+        ks = [k1]
+        for ci, row in zip(method.c, method.a):
+            ks.append(rhs(t + ci * dt_try, *fma(row, ks)[:3]))
+        z_new = fma(method.b, ks)
+        ks.append(rhs(t + dt_try, *z_new[:3]))  # FSAL
 
         # scaled error norm over the 5 components
         err_sq = jnp.zeros_like(t)
         finite = jnp.ones_like(done)
-        ks = (k1, k2, k3, k4, k5, k6, k7)
-        bts = (_BT1, _BT2, _BT3, _BT4, _BT5, _BT6, _BT7)
         for comp in range(5):
             e = jnp.zeros_like(t)
-            for bt, k in zip(bts, ks):
-                e = e + bt * k[comp]
+            for bt, k in zip(method.bt, ks):
+                if bt != 0.0:
+                    e = e + bt * k[comp]
             e = dt_try * e
             sc = (config.abstol + config.reltol
                   * jnp.maximum(jnp.abs(z[comp]), jnp.abs(z_new[comp])))
@@ -153,7 +145,7 @@ def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
         newly_failed = live & at_dtmin & ~accept
 
         enorm_safe = jnp.maximum(enorm, 1e-10)
-        q = _SAFETY * enorm_safe ** (-1.0 / _ORDER)
+        q = _SAFETY * enorm_safe ** (-1.0 / method.order)
         q = jnp.where(finite, q, _QMIN)
         factor = jnp.clip(q, _QMIN, _QMAX)
         dt_next = jnp.where(accept, dt_try * factor,
@@ -164,7 +156,7 @@ def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
         t_new = jnp.where(upd, t + dt_try, t)
         out = tuple(jnp.where(upd, zn, zo) for zn, zo in zip(z_new, z))
         dt_out = jnp.where(live, dt_next, dt)
-        k1_out = tuple(jnp.where(upd, kn, ko) for kn, ko in zip(k7, k1))
+        k1_out = tuple(jnp.where(upd, kn, ko) for kn, ko in zip(ks[-1], k1))
         done_new = done | (live & (t_new >= t_end - 1e-9)) | newly_failed
 
         return (out[0], out[1], out[2], out[3], out[4], t_new, dt_out,

@@ -29,25 +29,59 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-# Tsitouras 2011 coefficients (the Tsit5 tableau of OrdinaryDiffEq.jl).
-_C = (0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0)
-_A21 = 0.161
-_A31, _A32 = -0.008480655492356989, 0.335480655492357
-_A41, _A42, _A43 = 2.8971530571054935, -6.359448489975075, 4.3622954328695815
-_A51, _A52, _A53, _A54 = (5.325864828439257, -11.748883564062828,
-                          7.4955393428898365, -0.09249506636175525)
-_A61, _A62, _A63, _A64, _A65 = (5.86145544294642, -12.92096931784711,
-                                8.159367898576159, -0.071584973281401,
-                                -0.028269050394068383)
-_B1, _B2, _B3, _B4, _B5, _B6, _B7 = (0.09646076681806523, 0.01,
-                                     0.4798896504144996, 1.379008574103742,
-                                     -3.290069515436081, 2.324710524099774,
-                                     0.0)
-# b - bhat: weights of the embedded 4th-order error estimate.
-_BT1, _BT2, _BT3, _BT4, _BT5, _BT6, _BT7 = (
-    -0.00178001105222577714, -0.0008164344596567469, 0.007880878010261995,
-    -0.1447110071732629, 0.5823571654525552, -0.45808210592918697,
-    0.015151515151515152)
+
+class RKMethod(NamedTuple):
+    """Explicit embedded RK tableau with the FSAL property.
+
+    ``c``/``a`` define stages 2..S, ``b`` the Sth-order solution weights
+    over stages 1..S, and ``bt = b - bhat`` the embedded error weights over
+    stages 1..S **plus** the FSAL evaluation ``k_{S+1} = f(t+dt, z_new)``
+    (which doubles as the next substep's ``k1``).
+    """
+
+    name: str
+    c: Tuple[float, ...]
+    a: Tuple[Tuple[float, ...], ...]
+    b: Tuple[float, ...]
+    bt: Tuple[float, ...]
+    order: float
+
+
+# Tsitouras 2011 coefficients (the Tsit5 tableau of OrdinaryDiffEq.jl) —
+# the reference's solver family (AutoTsit5, particle_waves_v5.jl:47).
+TSIT5 = RKMethod(
+    name="tsit5",
+    c=(0.161, 0.327, 0.9, 0.9800255409045097, 1.0),
+    a=((0.161,),
+       (-0.008480655492356989, 0.335480655492357),
+       (2.8971530571054935, -6.359448489975075, 4.3622954328695815),
+       (5.325864828439257, -11.748883564062828, 7.4955393428898365,
+        -0.09249506636175525),
+       (5.86145544294642, -12.92096931784711, 8.159367898576159,
+        -0.071584973281401, -0.028269050394068383)),
+    b=(0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+       -3.290069515436081, 2.324710524099774),
+    # b - bhat: weights of the embedded 4th-order error estimate.
+    bt=(-0.00178001105222577714, -0.0008164344596567469,
+        0.007880878010261995, -0.1447110071732629, 0.5823571654525552,
+        -0.45808210592918697, 0.015151515151515152),
+    order=5.0)
+
+# Bogacki–Shampine 3(2) (BS3 of OrdinaryDiffEq.jl): 3 fresh RHS evals per
+# substep vs Tsit5's 6 under FSAL.  Same PI controller and tolerances, so
+# accuracy is governed by the same error target; the wave-relaxation ODE is
+# smooth enough that the steady-state substep count matches Tsit5's,
+# halving the advance cost (the #1 hot kernel).
+BOSH3 = RKMethod(
+    name="bosh3",
+    c=(0.5, 0.75),
+    a=((0.5,), (0.0, 0.75)),
+    b=(2.0 / 9.0, 1.0 / 3.0, 4.0 / 9.0),
+    bt=(2.0 / 9.0 - 7.0 / 24.0, 1.0 / 3.0 - 1.0 / 4.0,
+        4.0 / 9.0 - 1.0 / 3.0, -1.0 / 8.0),
+    order=3.0)
+
+METHODS = {"tsit5": TSIT5, "bosh3": BOSH3}
 
 _SAFETY = 0.9
 _QMIN = 0.2
@@ -64,6 +98,7 @@ class SolverConfig:
     dtmin: float = 1e-4
     force_dtmin: bool = True
     maxiters: int = 10_000
+    method: str = "tsit5"   # "tsit5" | "bosh3"
 
 
 class SolveResult(NamedTuple):
@@ -80,30 +115,38 @@ def _error_norm(err, z0, z1, abstol, reltol):
     return jnp.sqrt(jnp.mean((err / sc) ** 2, axis=-1))
 
 
-def tsit5_step(rhs: Callable, t, z, dt, aux,
-               k1=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One Tsit5 step for all lanes: returns (z_new, error_estimate, k7).
+def rk_step(method: RKMethod, rhs: Callable, t, z, dt, aux,
+            k1=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One embedded-RK step for all lanes: (z_new, error_estimate, k_fsal).
 
-    Tsit5 is FSAL: ``k7 = rhs(t+dt, z_new)`` doubles as the next step's
-    ``k1``, so callers that carry it save one RHS eval per substep.
+    FSAL: ``k_fsal = rhs(t+dt, z_new)`` doubles as the next step's ``k1``,
+    so callers that carry it save one RHS eval per substep.
     """
     dt_ = dt[..., None]
     if k1 is None:
         k1 = rhs(t, z, aux)
-    k2 = rhs(t + _C[0] * dt, z + dt_ * (_A21 * k1), aux)
-    k3 = rhs(t + _C[1] * dt, z + dt_ * (_A31 * k1 + _A32 * k2), aux)
-    k4 = rhs(t + _C[2] * dt, z + dt_ * (_A41 * k1 + _A42 * k2 + _A43 * k3), aux)
-    k5 = rhs(t + _C[3] * dt,
-             z + dt_ * (_A51 * k1 + _A52 * k2 + _A53 * k3 + _A54 * k4), aux)
-    k6 = rhs(t + dt,
-             z + dt_ * (_A61 * k1 + _A62 * k2 + _A63 * k3 + _A64 * k4
-                        + _A65 * k5), aux)
-    z_new = z + dt_ * (_B1 * k1 + _B2 * k2 + _B3 * k3 + _B4 * k4 + _B5 * k5
-                       + _B6 * k6)
-    k7 = rhs(t + dt, z_new, aux)
-    err = dt_ * (_BT1 * k1 + _BT2 * k2 + _BT3 * k3 + _BT4 * k4 + _BT5 * k5
-                 + _BT6 * k6 + _BT7 * k7)
-    return z_new, err, k7
+    ks = [k1]
+    for ci, row in zip(method.c, method.a):
+        acc = z
+        for aij, kj in zip(row, ks):
+            if aij != 0.0:
+                acc = acc + dt_ * aij * kj
+        ks.append(rhs(t + ci * dt, acc, aux))
+    z_new = z
+    for bi, ki in zip(method.b, ks):
+        if bi != 0.0:
+            z_new = z_new + dt_ * bi * ki
+    ks.append(rhs(t + dt, z_new, aux))  # FSAL
+    err = jnp.zeros_like(z)
+    for bti, ki in zip(method.bt, ks):
+        if bti != 0.0:
+            err = err + bti * ki
+    return z_new, dt_ * err, ks[-1]
+
+
+def tsit5_step(rhs: Callable, t, z, dt, aux, k1=None):
+    """Back-compat wrapper: one Tsit5 step (see ``rk_step``)."""
+    return rk_step(TSIT5, rhs, t, z, dt, aux, k1=k1)
 
 
 def auto_dt(rhs: Callable, t, z, aux, *, abstol: float = 1e-4,
@@ -142,6 +185,7 @@ def integrate_to(rhs: Callable, z0: jnp.ndarray, t0: jnp.ndarray,
     ``step!(PI.ODEIntegrator, DT, true)`` (mapping_2D.jl:149-170).
     """
     dtype = z0.dtype
+    method = METHODS[config.method]
     t0 = jnp.asarray(t0, dtype)
     t_end = jnp.asarray(t_end, dtype)
     dt0 = jnp.maximum(jnp.asarray(dt0, dtype), config.dtmin)
@@ -174,7 +218,7 @@ def integrate_to(rhs: Callable, z0: jnp.ndarray, t0: jnp.ndarray,
         dt_try = jnp.clip(c.dt, config.dtmin, jnp.maximum(remaining, config.dtmin))
         at_dtmin = dt_try <= config.dtmin * (1.0 + 1e-8)
 
-        z_new, err, k7 = tsit5_step(rhs, c.t, c.z, dt_try, aux, k1=c.k1)
+        z_new, err, k7 = rk_step(method, rhs, c.t, c.z, dt_try, aux, k1=c.k1)
         enorm = _error_norm(err, c.z, z_new, config.abstol, config.reltol)
         finite = jnp.all(jnp.isfinite(z_new), axis=-1) & jnp.isfinite(enorm)
 
@@ -185,7 +229,7 @@ def integrate_to(rhs: Callable, z0: jnp.ndarray, t0: jnp.ndarray,
 
         # step-size controller (I-controller with safety and limits)
         enorm_safe = jnp.maximum(enorm, 1e-10)
-        q = _SAFETY * enorm_safe ** (-1.0 / _ORDER)
+        q = _SAFETY * enorm_safe ** (-1.0 / method.order)
         q = jnp.where(finite, q, _QMIN)
         factor = jnp.clip(q, _QMIN, _QMAX)
         dt_next = jnp.where(accept, dt_try * factor,

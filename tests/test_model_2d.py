@@ -222,3 +222,31 @@ def test_dt_carry_mode_matches_auto():
     assert np.max(np.abs(a - c) / denom) < 5e-3
     assert int(sc.metrics.substeps_max) <= int(sa.metrics.substeps_max)
     assert int(sc.metrics.n_failed) == 0
+
+
+def test_bosh3_solver_matches_tsit5():
+    """The production bench config runs solver="bosh3" (half the RHS evals
+    per substep); same error tolerances => same physics within solver
+    tolerance, and the steady-state substep count must not regress."""
+    import dataclasses
+
+    def run(solver):
+        grid = cartesian_box(100e3, 21, 100e3, 21,
+                             periodic_boundary=(True, True))
+        sett = dataclasses.replace(_settings(), solver=solver)
+        model = WaveGrowth2D(grid, constant_winds(10.0, 10.0), sett,
+                             config=WaveGrowth2DConfig(periodic_boundary=True,
+                                                       dt_reset_mode="carry"))
+        ms = model.init_state()
+        step = jax.jit(model.step)
+        for _ in range(12):
+            ms = step(ms)
+        return ms
+
+    a = run("tsit5")
+    b = run("bosh3")
+    assert int(b.metrics.n_failed) == 0
+    # steady state: both settle to 1 substep per DT
+    assert int(b.metrics.substeps_max) <= int(a.metrics.substeps_max)
+    np.testing.assert_allclose(np.asarray(b.state), np.asarray(a.state),
+                               rtol=2e-3, atol=1e-6)

@@ -94,3 +94,39 @@ def test_dt_persists_and_grows():
                        jnp.full(1, 10.0), jnp.full(1, 1e-3), None,
                        jnp.array([True]), SolverConfig())
     assert float(res.dt[0]) > 1e-3  # controller grew the step
+
+
+def test_bosh3_matches_tsit5_within_tolerance():
+    """Bosh3 integrates the same problems to the same error target."""
+    z0 = jnp.array([[1.0], [2.0], [4.0]])
+    res = integrate_to(_decay_rhs, z0, jnp.zeros(3), jnp.full(3, 3.0),
+                       jnp.full(3, 0.01), None, jnp.array([True] * 3),
+                       SolverConfig(method="bosh3"))
+    want = np.array([[1.0], [2.0], [4.0]]) * np.exp(-1.5)
+    # per-substep error control at reltol=1e-3 accumulates to ~1e-2 global
+    np.testing.assert_allclose(np.asarray(res.z), want, rtol=1e-2)
+    assert not np.any(np.asarray(res.failed))
+
+    osc = integrate_to(_oscillator_rhs, jnp.array([[1.0, 0.0]]), jnp.zeros(1),
+                       jnp.full(1, 2 * np.pi), jnp.full(1, 1e-3), None,
+                       jnp.array([True]),
+                       SolverConfig(abstol=1e-6, reltol=1e-6, method="bosh3"))
+    np.testing.assert_allclose(np.asarray(osc.z[0]), [1.0, 0.0], atol=5e-4)
+
+
+def test_bosh3_fewer_rhs_evals_per_substep():
+    """Order-3 embedded pair: larger error per step than Tsit5 at equal dt,
+    so the controller takes more substeps — but each costs half the RHS
+    evals.  Sanity check that both converge and the controller adapts."""
+    res5 = integrate_to(_oscillator_rhs, jnp.array([[1.0, 0.0]]), jnp.zeros(1),
+                        jnp.full(1, 2 * np.pi), jnp.full(1, 1e-3), None,
+                        jnp.array([True]), SolverConfig(method="tsit5"))
+    res3 = integrate_to(_oscillator_rhs, jnp.array([[1.0, 0.0]]), jnp.zeros(1),
+                        jnp.full(1, 2 * np.pi), jnp.full(1, 1e-3), None,
+                        jnp.array([True]), SolverConfig(method="bosh3"))
+    assert not bool(res5.failed[0]) and not bool(res3.failed[0])
+    # same per-step error target; global drift stays in the same class
+    np.testing.assert_allclose(np.asarray(res3.z[0]), np.asarray(res5.z[0]),
+                               atol=2e-2)
+    # lower order => more substeps, but each costs 3 RHS evals vs 6
+    assert int(res3.naccept[0]) >= int(res5.naccept[0])
