@@ -19,12 +19,17 @@ from picles_tpu.grids.cartesian import cartesian_box
 from picles_tpu.models.wave_growth_2d import WaveGrowth2D, WaveGrowth2DConfig
 
 # step -> (e, m_x, m_y at node [8, 8]; total energy)
+# Generated on the CPU (XLA host) backend — the backend the suite pins in
+# conftest.py.  Cross-backend (TPU) runs agree only to ~1e-3: the adaptive
+# error controller amplifies last-ulp transcendental differences into
+# different (all valid) accept/reject paths — see _rtols().
 GOLDEN = {
-    1: (2.6601294056e-02, 5.8118612505e-03, 5.8118626475e-03, 6.8099288940e+00),
-    3: (6.8227678537e-02, 1.0814460926e-02, 1.0814462788e-02, 1.7456176758e+01),
-    6: (1.2437192351e-01, 1.5976365656e-02, 1.5976369381e-02, 3.1839179993e+01),
-    12: (2.2151815891e-01, 2.3117808625e-02, 2.3117808625e-02, 5.6708633423e+01),
+    1: (2.6601212099e-02, 5.8118416928e-03, 5.8118421584e-03, 6.8099231720e+00),
+    3: (6.8184584379e-02, 1.0807109997e-02, 1.0807107203e-02, 1.7456180573e+01),
+    6: (1.2437149137e-01, 1.5976341441e-02, 1.5976335853e-02, 3.1839084625e+01),
+    12: (2.2151729465e-01, 2.3117741570e-02, 2.3117739707e-02, 5.6708507538e+01),
 }
+GOLDEN_BACKEND = "cpu"
 
 
 def _model(**cfg_kw):
@@ -37,6 +42,27 @@ def _model(**cfg_kw):
     return WaveGrowth2D(grid, constant_winds(10.0, 10.0), sett,
                         config=WaveGrowth2DConfig(periodic_boundary=True,
                                                   **cfg_kw))
+
+
+def _rtols(cfg):
+    """Tolerance policy: tight same-backend lock, looser cross-backend.
+
+    carry-mode dt policy changes substep placement within tolerance of the
+    error controller; the pallas kernels reassociate float32 FMAs (~1e-4
+    relative after a few growth steps); the XLA path must match tightly on
+    the golden-generating backend.  On any other backend the adaptive
+    controller turns last-ulp vectorization differences into different
+    (all valid) substep paths, so every config gets the loose bound there.
+    """
+    import jax
+
+    if jax.default_backend() != GOLDEN_BACKEND:
+        return 5e-3
+    if cfg.get("dt_reset_mode") == "carry":
+        return 2e-3
+    if cfg.get("advance_mode") == "pallas":
+        return 1e-3
+    return 1e-4
 
 
 @pytest.mark.parametrize("cfg", [
@@ -52,15 +78,7 @@ def _model(**cfg_kw):
 def test_forced_box_golden(cfg):
     m = _model(**cfg)
     ms = m.init_state()
-    # carry-mode dt policy changes substep placement within tolerance of the
-    # error controller; the pallas kernels reassociate float32 FMAs (~1e-4
-    # relative after a few growth steps); the XLA path must match tightly
-    if cfg.get("dt_reset_mode") == "carry":
-        rtol_pt = rtol_sum = 2e-3
-    elif cfg.get("advance_mode") == "pallas":
-        rtol_pt = rtol_sum = 1e-3
-    else:
-        rtol_pt = rtol_sum = 1e-4
+    rtol_pt = rtol_sum = _rtols(cfg)
     for k in sorted(GOLDEN):
         while int(ms.iteration) < k:
             ms = m.step(ms)
