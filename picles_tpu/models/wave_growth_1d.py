@@ -261,3 +261,9 @@ class WaveGrowth1D:
             return nxt, nxt.state
 
         return jax.lax.scan(body, ms, None, length=n)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def step_n_quiet(self, ms: ModelState1D, n) -> ModelState1D:
+        """n steps with no per-step output (O(state) memory; the storeless
+        Simulation.run path).  ``n`` is a traced scalar."""
+        return jax.lax.fori_loop(0, n, lambda _, s: self.step(s), ms)

@@ -572,6 +572,14 @@ class WaveGrowth2D:
 
         return jax.lax.scan(body, ms, None, length=n)
 
+    @partial(jax.jit, static_argnums=(0,))
+    def step_n_quiet(self, ms: ModelState2D, n) -> ModelState2D:
+        """n steps with NO per-step output: peak memory stays O(state)
+        instead of step_n's O(n * state) — a 6-day 1536^2 run would stack
+        ~24 GB of unread history through step_n.  ``n`` is a traced scalar
+        so chunked drivers reuse one compilation for any chunk length."""
+        return jax.lax.fori_loop(0, n, lambda _, s: self.step(s), ms)
+
     def step_jit(self) -> Callable:
         return jax.jit(self.step)
 

@@ -98,9 +98,14 @@ class Simulation:
             chunk_size: int = 0) -> None:
         """Reference run! (run.jl:36-122).
 
-        chunk_size = 0 picks one scan over all remaining steps when a store
-        is attached (states needed every step) — otherwise a single fused
-        scan with no intermediate output.
+        With a store attached, states are needed every step: steps run in
+        ``lax.scan`` chunks of ``chunk_size`` (default: all remaining) whose
+        stacked outputs feed the store in blocks.  Without a store, steps
+        run through ``step_n_quiet`` (``fori_loop``, no per-step output) so
+        peak device memory stays O(state) for any horizon; a finite
+        ``wall_time_limit`` chunks that path too so the limit is enforced
+        between device dispatches (the reference checks wall time once per
+        step, run.jl:117-121).
         """
         t_wall = _time.time()
         if not self.initialized:
@@ -138,7 +143,21 @@ class Simulation:
                     print("wall time limit reached")
                     break
         else:
-            self.state, _ = self.model.step_n(self.state, remaining)
-            jax.block_until_ready(self.state.state)
+            # step_n_quiet takes the trip count as a traced scalar: every
+            # chunk length reuses one compilation.
+            chunk = chunk_size or (64 if self.wall_time_limit != float("inf")
+                                   else remaining)
+            done = 0
+            while done < remaining:
+                n = min(chunk, remaining - done)
+                self.state = self.model.step_n_quiet(self.state, n)
+                jax.block_until_ready(self.state.state)
+                done += n
+                if self.verbose:
+                    print(f"t = {float(self.state.time):.0f} s "
+                          f"({done}/{remaining} steps)")
+                if _time.time() - t_wall > self.wall_time_limit:
+                    print("wall time limit reached")
+                    break
 
         self.run_wall_time += _time.time() - t_wall

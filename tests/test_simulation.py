@@ -99,3 +99,53 @@ def test_convert_store_to_tuple():
     sim.run(cash_store=True)
     out = convert_store_to_tuple(sim.store)
     assert out["data"].shape[0] == len(sim.store.store)
+
+
+def test_storeless_run_matches_stored_and_stays_o_state():
+    """The storeless path (step_n_quiet fori_loop) must reach the same final
+    state as the scan-with-outputs path while never materializing the
+    [n, nx, ny, 3] history (VERDICT r2: a 6-day 1536^2 run through step_n
+    would stack ~24 GB of unread states)."""
+    import jax
+
+    s1 = _sim(stop_time=2400.0)
+    s1.run()  # storeless
+    s2 = _sim(stop_time=2400.0)
+    s2.run(cash_store=True)
+    np.testing.assert_allclose(np.asarray(s1.state.state),
+                               np.asarray(s2.state.state), rtol=1e-6)
+    assert float(s1.state.time) == float(s2.state.time)
+
+    # memory claim: the jaxpr of step_n_quiet has no stacked [n, ...] output
+    m = s1.model
+    ms = m.init_state()
+    jaxpr = jax.make_jaxpr(lambda s, n: m.step_n_quiet(s, n))(ms, 5)
+    nx = ms.state.shape[0]
+    for v in jaxpr.jaxpr.outvars:
+        shape = getattr(v.aval, "shape", ())
+        assert len(shape) < 4 or shape[0] == nx, shape
+
+
+def test_storeless_wall_time_limit_enforced():
+    """wall_time_limit must stop the storeless path too (VERDICT r2: it was
+    only checked on the store loop)."""
+    sim = _sim(stop_time=600.0 * 400)  # 401 steps — plenty to outlast 0 s
+    sim.wall_time_limit = 0.0          # first chunk exceeds immediately
+    sim.run(chunk_size=2)
+    assert int(sim.state.iteration) == 2  # stopped after one chunk
+    assert float(sim.state.time) == 2 * 600.0
+
+
+def test_storeless_run_dynamic_chunks_single_compile():
+    """step_n_quiet takes the trip count as a traced scalar: chunks of any
+    length reuse one executable."""
+    sim = _sim(stop_time=3000.0)
+    m = sim.model
+    ms = m.init_state()
+    size0 = m.step_n_quiet._cache_size()  # self is static: cache is shared
+    a = m.step_n_quiet(ms, 2)
+    b = m.step_n_quiet(a, 3)
+    full = m.step_n_quiet(m.init_state(), 5)
+    np.testing.assert_allclose(np.asarray(b.state), np.asarray(full.state),
+                               rtol=1e-6)
+    assert m.step_n_quiet._cache_size() == size0 + 1
