@@ -120,6 +120,22 @@ class WaveGrowth1D:
         else:
             self.defaults = None
 
+        # boundary_type parity (reference WaveGrowthModels1D.jl:146-158):
+        # the knob is validated and its defaults constructed, but the 1D
+        # branch table has no boundary reseed — boundary particles always
+        # switch off (mapping_1D.jl:244-278) — so the defaults are inert,
+        # exactly as in the reference.
+        if config.boundary_type == "mininmal":
+            self.boundary_defaults: Optional[ParticleDefaults1D] = \
+                ParticleDefaults1D(-11.0, 1e-3)
+        elif config.boundary_type == "wind_sea":
+            self.boundary_defaults = None
+        elif config.boundary_type == "same":
+            self.boundary_defaults = self.defaults
+        else:
+            raise ValueError("boundary_type must be 'wind_sea', 'mininmal' "
+                             "or 'same'")
+
     # ------------------------------------------------------------------
 
     def _reset_values(self, u, x_node):

@@ -182,21 +182,58 @@ class WaveGrowth2D:
             raise ValueError("ode_init_type must be 'wind_sea', 'mininmal' "
                              "or a ParticleDefaults2D")
 
+        # boundary_type -> what boundary nodes are reseeded to (reference
+        # WaveGrowthModels2D.jl:273-292 builds `boundary_defaults` and
+        # NodeToParticle! has a `PI.boundary & wind strong -> reseed`
+        # branch, mapping_2D.jl:338-345 — but the reference wiring leaves
+        # both dead: time_step! iterates ocean_points only, which never
+        # intersects the boundary-flagged nodes, and passes ODEdefaults.
+        # The intent (advance!'s commented-out `& ~PI.boundary` guards,
+        # mapping_2D.jl:131/149/191) is an open-boundary inflow condition:
+        # boundary particles do NOT integrate their ODE; each remesh they
+        # are reseeded from boundary_defaults and scatter that state as-is.
+        # Here that intended semantics is real for "wind_sea"/"mininmal";
+        # "same" keeps the reference's actual behavior (inert boundary).
+        if config.boundary_type == "wind_sea":
+            # boundary reseeds from the local windsea (defaults = nothing)
+            self.boundary_defaults: Optional[ParticleDefaults2D] = None
+            self._boundary_source = True
+        elif config.boundary_type == "mininmal":
+            # fixed 5-minute 1.41 m/s minimal windsea
+            # (WaveGrowthModels2D.jl:279-285)
+            bws = FR.MinimalWindsea(1.0, 1.0, 5 * 60.0)
+            self.boundary_defaults = ParticleDefaults2D(
+                float(bws.lne), float(bws.cg_bar_x), float(bws.cg_bar_y))
+            self._boundary_source = True
+        elif config.boundary_type == "same":
+            self.boundary_defaults = self.defaults
+            self._boundary_source = False
+        else:
+            raise ValueError("boundary_type must be 'wind_sea', 'mininmal' "
+                             "or 'same'")
+        # "same" (and "wind_sea" when the model defaults are already
+        # windsea) needs no separate boundary select in the remesh
+        self._boundary_differs = (self.boundary_defaults is not self.defaults
+                                  and not (self.boundary_defaults is None
+                                           and self.defaults is None))
+
     # ------------------------------------------------------------------
     # seeding
     # ------------------------------------------------------------------
 
-    def _reset_values(self, u, v):
+    def _reset_values(self, u, v, defaults="model"):
         """Vectorized ResetParticleValues (reference core_2D.jl:307-343):
         windsea from local winds when no defaults are set, otherwise the
         fixed defaults.  Returns (lne, cgx, cgy) component planes;
-        positions reset to (0, 0) at the call sites."""
+        positions reset to (0, 0) at the call sites.  ``defaults`` selects
+        the ParticleDefaults2D source ("model" = self.defaults; the remesh
+        boundary branch passes self.boundary_defaults)."""
         dtype = self.config.dtype
-        if self.defaults is None:
+        d = self.defaults if defaults == "model" else defaults
+        if d is None:
             ws = FR.get_initial_windsea(u, v, self.settings.timestep)
             return (ws.lne.astype(dtype), ws.cg_bar_x.astype(dtype),
                     ws.cg_bar_y.astype(dtype))
-        d = self.defaults
         shp = jnp.shape(u)
         return tuple(jnp.broadcast_to(jnp.asarray(val, dtype), shp)
                      for val in (d.lne, d.cg_x, d.cg_y))
@@ -340,8 +377,13 @@ class WaveGrowth2D:
                         jnp.asarray(sett.log_energy_maximum, cfg.dtype), lne)
         was_reset_adv = relight | bad | emax_mask
 
+        # boundary-source nodes: hold their reseeded boundary_defaults
+        # (never integrated) and scatter them as-is — the open-boundary
+        # inflow condition (see __init__ boundary_type notes)
+        bsrc = boundary if self._boundary_source else jnp.zeros_like(boundary)
+
         # ---------------- SCATTER ----------------
-        scatter_on = on & active & ~failed
+        scatter_on = (on & active & ~failed) | (on & bsrc)
         e, mx, my = TR.particle_to_node(lne, cgx, cgy)
         if scatter_fn is None:
             (e_n, mx_n, my_n), sc_stats = pic.scatter_channels(
@@ -370,22 +412,31 @@ class WaveGrowth2D:
         wind2_i = u_i ** 2 + v_i ** 2
 
         m2_n = mx_n ** 2 + my_n ** 2
-        gather = (active & ~boundary
+        part = active | bsrc   # nodes the remesh state machine touches
+        gather = (part & ~boundary
                   & (e_n >= self.minimal_state[0])
                   & (m2_n >= self.minimal_state[1]))
         wind_ok = wind2_i >= sett.wind_min_squared
-        reseed = active & ~gather & wind_ok
-        go_off = active & ~gather & ~reseed
+        reseed = part & ~gather & wind_ok
+        go_off = part & ~gather & ~reseed
 
         lne_g, cgx_g, cgy_g = TR.node_to_particle(e_n, mx_n, my_n)
         lne_s, cgx_s, cgy_s = self._reset_values(u_i, v_i)
+        if self._boundary_differs:
+            # boundary reseed branch uses boundary_defaults
+            # (mapping_2D.jl:338-345 + WaveGrowthModels2D.jl:273-292)
+            lne_b, cgx_b, cgy_b = self._reset_values(
+                u_i, v_i, defaults=self.boundary_defaults)
+            lne_s = jnp.where(boundary, lne_b, lne_s)
+            cgx_s = jnp.where(boundary, cgx_b, cgx_s)
+            cgy_s = jnp.where(boundary, cgy_b, cgy_s)
 
         lne = jnp.where(gather, lne_g, jnp.where(reseed, lne_s, lne))
         cgx = jnp.where(gather, cgx_g, jnp.where(reseed, cgx_s, cgx))
         cgy = jnp.where(gather, cgy_g, jnp.where(reseed, cgy_s, cgy))
         px = jnp.where(gather | reseed, 0.0, px)
         py = jnp.where(gather | reseed, 0.0, py)
-        on = jnp.where(active, (gather | reseed), on)
+        on = jnp.where(part, (gather | reseed), on)
 
         # dt reset (auto_dt_reset!) for every lane whose u was replaced
         was_reset = was_reset_adv | gather | reseed
@@ -483,13 +534,20 @@ class WaveGrowth2D:
             wind_fields = ()
         d = self.defaults
         defaults = None if d is None else (d.lne, d.cg_x, d.cg_y)
+        if self._boundary_differs:
+            bd = self.boundary_defaults
+            bdefaults = None if bd is None else (bd.lne, bd.cg_x, bd.cg_y)
+        else:
+            bdefaults = "same"
         rm = remesh_pallas(
             u_k, v_k, defaults, float(sett.timestep),
             self._minimal_e, self._minimal_m2,
             float(sett.wind_min_squared), float(sett.dtmin),
             node_state, lne, cgx, cgy, px, py, dt, on, active, boundary,
             grid.x, grid.y, ms.time, wind_fields=wind_fields,
-            block_x=cfg.pallas_block_x, interpret=cfg.pallas_interpret)
+            block_x=cfg.pallas_block_x, interpret=cfg.pallas_interpret,
+            boundary_defaults=bdefaults,
+            boundary_source=self._boundary_source)
 
         if psum_axes:
             def _count(x):

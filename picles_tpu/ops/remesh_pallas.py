@@ -47,7 +47,8 @@ class RemeshResult(NamedTuple):
     branch: jnp.ndarray    # int32 bitfield (GATHER/RESEED/OFF bits)
 
 
-def _remesh_kernel(u_wind: Callable, v_wind: Callable, defaults,
+def _remesh_kernel(u_wind: Callable, v_wind: Callable, defaults, bdefaults,
+                   boundary_source: bool,
                    timestep: float, minimal_e: float, minimal_m2: float,
                    wind_min_squared: float, dtmin: float, n_wf: int,
                    *refs):
@@ -74,9 +75,12 @@ def _remesh_kernel(u_wind: Callable, v_wind: Callable, defaults,
     wind2 = u_i ** 2 + v_i ** 2
 
     m2_n = mx_n ** 2 + my_n ** 2
-    gather = (active & ~boundary & (e_n >= minimal_e) & (m2_n >= minimal_m2))
-    reseed = active & ~gather & (wind2 >= wind_min_squared)
-    go_off = active & ~gather & ~reseed
+    # boundary-source mode: boundary nodes join the remesh state machine
+    # (open-boundary inflow, see WaveGrowth2D boundary_type notes)
+    part = (active | boundary) if boundary_source else active
+    gather = (part & ~boundary & (e_n >= minimal_e) & (m2_n >= minimal_m2))
+    reseed = part & ~gather & (wind2 >= wind_min_squared)
+    go_off = part & ~gather & ~reseed
 
     # node -> particle transform (transforms.node_to_particle semantics)
     tiny = jnp.asarray(1e-30, lne.dtype)
@@ -86,16 +90,22 @@ def _remesh_kernel(u_wind: Callable, v_wind: Callable, defaults,
     cgx_g = mx_n * e_safe / (2.0 * m2s)
     cgy_g = my_n * e_safe / (2.0 * m2s)
 
-    if defaults is None:
-        ws = FR.get_initial_windsea(u_i, v_i, timestep)
-        lne_s, cgx_s, cgy_s = (ws.lne.astype(lne.dtype),
-                               ws.cg_bar_x.astype(lne.dtype),
-                               ws.cg_bar_y.astype(lne.dtype))
-    else:
-        d_lne, d_cgx, d_cgy = defaults
-        lne_s = jnp.full_like(lne, d_lne)
-        cgx_s = jnp.full_like(lne, d_cgx)
-        cgy_s = jnp.full_like(lne, d_cgy)
+    def _seed_vals(d):
+        if d is None:
+            ws = FR.get_initial_windsea(u_i, v_i, timestep)
+            return (ws.lne.astype(lne.dtype), ws.cg_bar_x.astype(lne.dtype),
+                    ws.cg_bar_y.astype(lne.dtype))
+        return (jnp.full_like(lne, d[0]), jnp.full_like(lne, d[1]),
+                jnp.full_like(lne, d[2]))
+
+    lne_s, cgx_s, cgy_s = _seed_vals(defaults)
+    if bdefaults != "same":
+        # boundary reseed branch uses the boundary defaults
+        # (mapping_2D.jl:338-345 + WaveGrowthModels2D.jl:273-292)
+        lne_b, cgx_b, cgy_b = _seed_vals(bdefaults)
+        lne_s = jnp.where(boundary, lne_b, lne_s)
+        cgx_s = jnp.where(boundary, cgx_b, cgx_s)
+        cgy_s = jnp.where(boundary, cgy_b, cgy_s)
 
     lne_o[:] = jnp.where(gather, lne_g, jnp.where(reseed, lne_s, lne))
     cgx_o[:] = jnp.where(gather, cgx_g, jnp.where(reseed, cgx_s, cgx))
@@ -106,7 +116,7 @@ def _remesh_kernel(u_wind: Callable, v_wind: Callable, defaults,
     # warm-restart dt (dt_reset_mode="carry")
     dt_o[:] = jnp.clip(dt, dtmin, timestep)
     # Mosaic cannot select between i1 vectors: do it in i32
-    on_o[:] = jnp.where(active, moved.astype(jnp.int32),
+    on_o[:] = jnp.where(part, moved.astype(jnp.int32),
                         on.astype(jnp.int32))
     br_o[:] = (jnp.where(gather, GATHER_BIT, 0)
                + jnp.where(reseed, RESEED_BIT, 0)
@@ -122,11 +132,15 @@ def remesh_pallas(u_wind: Callable, v_wind: Callable,
                   xn, yn, time_scalar,
                   wind_fields: Tuple[jnp.ndarray, ...] = (),
                   block_x: int = 0,
-                  interpret: bool = False) -> RemeshResult:
+                  interpret: bool = False,
+                  boundary_defaults="same",
+                  boundary_source: bool = False) -> RemeshResult:
     """Fused remesh over [nx, ny] planes.
 
     ``defaults``: None for windsea reseeding, or (lne, cgx, cgy) floats for
-    fixed ParticleDefaults.  ``time_scalar``: the model clock (traced scalar,
+    fixed ParticleDefaults.  ``boundary_defaults``: "same" (boundary nodes
+    reseed like the interior), None (boundary reseeds from windsea), or an
+    (lne, cgx, cgy) tuple.  ``time_scalar``: the model clock (traced scalar,
     enters via SMEM).
     """
     nx, ny = lne.shape
@@ -157,6 +171,7 @@ def remesh_pallas(u_wind: Callable, v_wind: Callable,
     out_shape = (f32, f32, f32, f32, f32, f32, i32, i32)
 
     kernel = functools.partial(_remesh_kernel, u_wind, v_wind, defaults,
+                               boundary_defaults, boundary_source,
                                timestep, minimal_e, minimal_m2,
                                wind_min_squared, dtmin, len(wind_fields))
     outs = pl.pallas_call(

@@ -250,3 +250,77 @@ def test_bosh3_solver_matches_tsit5():
     assert int(b.metrics.substeps_max) <= int(a.metrics.substeps_max)
     np.testing.assert_allclose(np.asarray(b.state), np.asarray(a.state),
                                rtol=2e-3, atol=1e-6)
+
+
+def test_boundary_type_mininmal_boundary_stays_dark():
+    """boundary_type selects the open-boundary inflow condition (reference
+    WaveGrowthModels2D.jl:273-292 + the intended mapping_2D.jl:338-345
+    branch): boundary particles never integrate; each remesh they reseed
+    from boundary_defaults and scatter that state as-is.
+
+    "mininmal" -> boundary holds the fixed 5-min/1.41 m/s minimal windsea
+    (stays dark); "wind_sea" -> boundary holds the full local windsea
+    (bright inflow); "same" -> reference-actual behavior (inert boundary).
+    """
+    models = {bt: _box_model(periodic=False, boundary_type=bt)
+              for bt in ("mininmal", "wind_sea", "same")}
+    states = {bt: m.init_state() for bt, m in models.items()}
+    steps = {bt: jax.jit(m.step) for bt, m in models.items()}
+    for _ in range(6):
+        for bt in models:
+            states[bt] = steps[bt](states[bt])
+
+    bnd = np.asarray(models["mininmal"].boundary_mask)
+    E = {bt: np.asarray(s.state[..., 0]) for bt, s in states.items()}
+
+    # deep interior is unaffected by the boundary condition choice
+    for bt in ("mininmal", "wind_sea"):
+        np.testing.assert_allclose(E[bt][8:-8, 8:-8], E["same"][8:-8, 8:-8],
+                                   rtol=1e-5)
+
+    # mechanism: after the remesh, "mininmal" boundary particles carry
+    # exactly the fixed minimal defaults (wind is strong -> reseed branch)
+    bd = models["mininmal"].boundary_defaults
+    lne_b = np.asarray(states["mininmal"].particles.lne)[bnd]
+    np.testing.assert_allclose(lne_b, bd.lne, rtol=1e-6)
+    assert bool(np.all(np.asarray(states["mininmal"].particles.on)[bnd]))
+
+    # "mininmal" boundary stays dark while the interior grows: its own
+    # scattered energy is the (tiny) minimal windsea, so the boundary row
+    # carries only neighbor inflow — far below the grown interior
+    assert E["mininmal"][bnd].max() < 0.5 * E["mininmal"][~bnd].mean()
+    # "wind_sea" boundary shines with the local windsea inflow; compare
+    # minima (maxima are dominated by interior inflow in both modes)
+    ws = FR.get_initial_windsea(10.0, 10.0, 600.0)
+    assert E["wind_sea"][bnd].min() > 0.8 * float(ws.E)
+    assert E["wind_sea"][bnd].min() > 100 * E["mininmal"][bnd].min()
+
+
+def test_boundary_type_pallas_remesh_matches_xla():
+    """The fused Pallas remesh applies the same boundary_defaults branch."""
+    kw = dict(periodic=False, boundary_type="mininmal",
+              dt_reset_mode="carry")
+    m_x = _box_model(**kw)
+    m_p = _box_model(remesh_mode="pallas", pallas_interpret=True, **kw)
+    s_x, s_p = m_x.init_state(), m_p.init_state()
+    step_x, step_p = jax.jit(m_x.step), jax.jit(m_p.step)
+    for _ in range(4):
+        s_x = step_x(s_x)
+        s_p = step_p(s_p)
+    np.testing.assert_allclose(np.asarray(s_p.state), np.asarray(s_x.state),
+                               rtol=2e-3, atol=1e-8)
+    for k in ("n_gather", "n_reseed", "n_off"):
+        assert int(getattr(s_p.metrics, k)) == int(getattr(s_x.metrics, k)), k
+
+
+def test_boundary_type_validation():
+    with pytest.raises(ValueError, match="boundary_type"):
+        _box_model(boundary_type="bogus")
+    from picles_tpu.models.wave_growth_1d import (WaveGrowth1D,
+                                                  WaveGrowth1DConfig,
+                                                  one_d_grid)
+    from picles_tpu.forcing.winds import constant_winds_1d
+    with pytest.raises(ValueError, match="boundary_type"):
+        WaveGrowth1D(one_d_grid(0.0, 100e3, 11), constant_winds_1d(10.0),
+                     _settings(),
+                     config=WaveGrowth1DConfig(boundary_type="bogus"))
