@@ -25,7 +25,8 @@ import time
 BASELINE_PUSHES_PER_S = 5.0e4  # BASELINE.md derived reference throughput
 
 
-def build(nx, ny, advance_mode="pallas", dt_reset_mode="carry"):
+def build(nx, ny, advance_mode="pallas", dt_reset_mode="carry",
+          solver="bosh3"):
     from picles_tpu.core import fetch_relations as FR
     from picles_tpu.core.constants import ODESettings
     from picles_tpu.forcing.winds import constant_winds
@@ -35,13 +36,15 @@ def build(nx, ny, advance_mode="pallas", dt_reset_mode="carry"):
 
     DT = 600.0
     ws = FR.MinimalWindsea(10.0, 10.0, DT)
-    # solver="bosh3": Bogacki-Shampine 3(2) at the same error tolerances —
-    # 3 fresh RHS evals per substep vs Tsit5's 6 (both FSAL), same substep
-    # count at steady state, fields agree to ~1e-4 relative
-    # (tests/test_model_2d.py::test_bosh3_solver_matches_tsit5)
+    # default solver="bosh3" is the FAST VARIANT: Bogacki-Shampine 3(2) at
+    # the same error tolerances — 3 fresh RHS evals per substep vs Tsit5's
+    # 6 (both FSAL), same substep count at steady state, fields agree to
+    # ~1e-4 relative (test_bosh3_solver_matches_tsit5).  The reference runs
+    # the AutoTsit5 family (particle_waves_v5.jl:47); pass --solver=tsit5
+    # for the solver-identical parity configuration.
     sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
                        timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
-                       dtmin=1e-4, force_dtmin=True, solver="bosh3")
+                       dtmin=1e-4, force_dtmin=True, solver=solver)
     # keep the reference's 2 km node spacing at every size so the CIC
     # displacement per DT stays within the halo (Courant ~2.4 < 3)
     grid = cartesian_box(2e3 * (nx - 1), nx, 2e3 * (ny - 1), ny,
@@ -59,7 +62,7 @@ def build(nx, ny, advance_mode="pallas", dt_reset_mode="carry"):
                                                   halo=((0, 3), (0, 3))))
 
 
-def bench_config(nx, ny, n_small=None, n_big=None, reps=3):
+def bench_config(nx, ny, n_small=None, n_big=None, reps=3, solver="bosh3"):
     import jax
 
     if n_small is None:
@@ -67,7 +70,7 @@ def bench_config(nx, ny, n_small=None, n_big=None, reps=3):
         # difference dominates the host<->device sync noise
         n_small, n_big = (50, 550) if nx * ny < 200_000 else (10, 40)
 
-    model = build(nx, ny)
+    model = build(nx, ny, solver=solver)
     ms = model.init_state()
 
     # dynamic trip count: ONE compiled executable serves every loop length
@@ -111,12 +114,17 @@ def main():
     except Exception:
         pass
 
-    nx = ny = int(sys.argv[1]) if len(sys.argv) > 1 else 1536
-    pushes_per_s, s_per_step = bench_config(nx, ny)
-    msg = (f"[bench] {nx}x{ny}: {pushes_per_s:.3e} pushes/s "
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    nx = ny = int(args[0]) if args else 1536
+    solver = "bosh3"
+    for a in sys.argv[1:]:     # --solver=tsit5: reference-identical parity
+        if a.startswith("--solver="):
+            solver = a.split("=", 1)[1]
+    pushes_per_s, s_per_step = bench_config(nx, ny, solver=solver)
+    msg = (f"[bench] {nx}x{ny} ({solver}): {pushes_per_s:.3e} pushes/s "
            f"({s_per_step*1e3:.2f} ms/step)")
     if "--small" in sys.argv:  # also time the reference's 51x51 config
-        small_pps, small_spstep = bench_config(51, 51)
+        small_pps, small_spstep = bench_config(51, 51, solver=solver)
         msg += f"; 51x51: {small_pps:.3e} pushes/s ({small_spstep*1e3:.2f} ms/step)"
     print(msg, file=sys.stderr)
     print(json.dumps({

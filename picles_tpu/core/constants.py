@@ -119,3 +119,11 @@ class ODESettings:
     # particle_waves_v5.jl:47) or "bosh3" (Bogacki–Shampine 3(2) — half the
     # RHS evals per substep at the same error tolerances)
     solver: str = "tsit5"
+
+    def __post_init__(self):
+        from ..ops.tsit5 import METHODS
+
+        if self.solver not in METHODS:
+            raise ValueError(
+                f"unknown solver {self.solver!r}; valid choices: "
+                f"{sorted(METHODS)}")

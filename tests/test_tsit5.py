@@ -117,16 +117,51 @@ def test_bosh3_matches_tsit5_within_tolerance():
 def test_bosh3_fewer_rhs_evals_per_substep():
     """Order-3 embedded pair: larger error per step than Tsit5 at equal dt,
     so the controller takes more substeps — but each costs half the RHS
-    evals.  Sanity check that both converge and the controller adapts."""
-    res5 = integrate_to(_oscillator_rhs, jnp.array([[1.0, 0.0]]), jnp.zeros(1),
-                        jnp.full(1, 2 * np.pi), jnp.full(1, 1e-3), None,
-                        jnp.array([True]), SolverConfig(method="tsit5"))
-    res3 = integrate_to(_oscillator_rhs, jnp.array([[1.0, 0.0]]), jnp.zeros(1),
-                        jnp.full(1, 2 * np.pi), jnp.full(1, 1e-3), None,
-                        jnp.array([True]), SolverConfig(method="bosh3"))
+    evals (3 fresh vs 6 under FSAL).  RHS evaluations are counted for real
+    via a wrapped callable.  On a dt-growth-limited problem (the model's
+    steady-state regime: error far under tolerance, substep count set by
+    the QMAX growth clamp, similar for both orders) total bosh3 evals must
+    be lower.  On an accuracy-limited problem (the oscillator below) the
+    lower order legitimately costs MORE total evals — asserted too, so the
+    test documents both regimes honestly."""
+    from picles_tpu.ops.tsit5 import METHODS
+
+    def run(method, rhs_fn, t_end):
+        # integrate_to traces the rhs; count evals at trace time (each
+        # traced call site executes once per while_loop iteration, so
+        # trace-time call count x loop iterations = total runtime evals)
+        calls = {"n": 0}
+
+        def counting_rhs(t, z, aux):
+            calls["n"] += 1
+            return rhs_fn(t, z, aux)
+
+        z0 = (jnp.array([[1.0, 0.0]]) if rhs_fn is _oscillator_rhs
+              else jnp.array([[1.0]]))
+        res = integrate_to(counting_rhs, z0, jnp.zeros(1),
+                           jnp.full(1, t_end), jnp.full(1, 1e-2), None,
+                           jnp.array([True]), SolverConfig(method=method))
+        iters = int(res.naccept[0]) + int(res.nreject[0])
+        # calls per loop body (len(c) stages + 1 FSAL) plus the initial k1;
+        # the traced body runs once per substep attempt
+        per_body = calls["n"] - 1
+        assert per_body == len(METHODS[method].c) + 1, (method, per_body)
+        return res, 1 + per_body * iters
+
+    # dt-growth-limited regime (smooth decay): bosh3 wins on total evals
+    dec5, devals5 = run("tsit5", _decay_rhs, 3.0)
+    dec3, devals3 = run("bosh3", _decay_rhs, 3.0)
+    assert not bool(dec5.failed[0]) and not bool(dec3.failed[0])
+    np.testing.assert_allclose(np.asarray(dec3.z[0]), np.asarray(dec5.z[0]),
+                               rtol=1e-2)
+    assert devals3 < devals5, (devals3, devals5)
+
+    # accuracy-limited regime (oscillator): the lower order takes enough
+    # extra substeps that its cheap stages do NOT pay off
+    res5, evals5 = run("tsit5", _oscillator_rhs, 2 * np.pi)
+    res3, evals3 = run("bosh3", _oscillator_rhs, 2 * np.pi)
     assert not bool(res5.failed[0]) and not bool(res3.failed[0])
-    # same per-step error target; global drift stays in the same class
     np.testing.assert_allclose(np.asarray(res3.z[0]), np.asarray(res5.z[0]),
                                atol=2e-2)
-    # lower order => more substeps, but each costs 3 RHS evals vs 6
     assert int(res3.naccept[0]) >= int(res5.naccept[0])
+    assert evals3 > evals5, (evals3, evals5)
