@@ -248,14 +248,14 @@ def auto_dt_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
     two RHS evaluations; this kernel keeps everything in VMEM.  Tiled like
     ``advance_pallas``; same wind-sampler contract (see ``advance_pallas``).
     """
+    from .pallas_util import pad_rows, row_block
+
     nx, ny = t.shape
     if block_x <= 0:
         vmem_budget = 8 * 1024 * 1024
         block_x = max(8, vmem_budget // (ny * 30 * 4))
-    bx = min(block_x, nx)
-    while nx % bx:
-        bx -= 1
-    grid = (nx // bx,)
+    bx, nx_pad = row_block(nx, block_x)
+    grid = (nx_pad // bx,)
 
     def spec():
         return pl.BlockSpec((bx, ny), lambda i: (i, 0),
@@ -269,6 +269,7 @@ def auto_dt_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
     if uniform is None:
         ins += [proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
                 proj[..., 1, 1], pc]
+    ins = [pad_rows(a, nx_pad) for a in ins]  # edge rows: finite RHS
     kernel = functools.partial(_auto_dt_kernel, u_wind, v_wind, consts,
                                flags, abstol, reltol, order, max_dt, uniform,
                                len(wind_fields))
@@ -277,9 +278,9 @@ def auto_dt_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
         grid=grid,
         in_specs=[spec() for _ in ins],
         out_specs=spec(),
-        out_shape=jax.ShapeDtypeStruct((nx, ny), t.dtype),
+        out_shape=jax.ShapeDtypeStruct((nx_pad, ny), t.dtype),
         interpret=interpret,
-    )(*ins)
+    )(*ins)[:nx]
 
 
 def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
@@ -301,14 +302,15 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
     (pass ``()``); gridded winds pass their per-step linearization
     (see forcing.winds.GriddedWinds2D.pallas_linear_fields).
     """
+    from .pallas_util import pad_rows, row_block
+
     nx, ny = t.shape
     if block_x <= 0:
         vmem_budget = 8 * 1024 * 1024  # bytes, conservative half of VMEM
         block_x = max(8, vmem_budget // (ny * 45 * 4))
-    bx = min(block_x, nx)
-    while nx % bx:  # largest divisor of nx not exceeding block_x
-        bx -= 1
-    grid = (nx // bx,)
+    # 8-aligned block + row padding: any nx (incl. primes) tiles cleanly
+    bx, nx_pad = row_block(nx, block_x)
+    grid = (nx_pad // bx,)
 
     def spec():
         return pl.BlockSpec((bx, ny), lambda i: (i, 0),
@@ -320,15 +322,22 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
     # z: either a stacked [nx, ny, 5] array or a 5-tuple of [nx, ny]
     # component planes (preferred — avoids the stacked layout round-trip)
     comps = z if isinstance(z, tuple) else tuple(z[..., i] for i in range(5))
-    ins = [*comps, t, dt, active.astype(jnp.int32), xn, yn]
-    ins += [jnp.broadcast_to(jnp.asarray(f, t.dtype), t.shape)
+    # padded lanes are inactive (mask fill 0) -> done at iteration 0;
+    # state/coords replicate the edge row so their RHS stays finite
+    ins = [*comps, t, dt]
+    ins = [pad_rows(a, nx_pad) for a in ins]
+    ins += [pad_rows(active.astype(jnp.int32), nx_pad, fill=0),
+            pad_rows(xn, nx_pad), pad_rows(yn, nx_pad)]
+    ins += [pad_rows(jnp.broadcast_to(jnp.asarray(f, t.dtype), t.shape),
+                     nx_pad)
             for f in wind_fields]
     if uniform is None:
-        ins += [proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
-                proj[..., 1, 1], pc]
+        ins += [pad_rows(a, nx_pad)
+                for a in (proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
+                          proj[..., 1, 1], pc)]
 
-    f32 = jax.ShapeDtypeStruct((nx, ny), t.dtype)
-    i32 = jax.ShapeDtypeStruct((nx, ny), jnp.int32)
+    f32 = jax.ShapeDtypeStruct((nx_pad, ny), t.dtype)
+    i32 = jax.ShapeDtypeStruct((nx_pad, ny), jnp.int32)
     out_shape = (f32, f32, f32, f32, f32, f32, f32, i32, i32)
 
     kernel = functools.partial(_advance_kernel, u_wind, v_wind, consts,
@@ -341,6 +350,7 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
         out_shape=out_shape,
         interpret=interpret,
     )(*ins)
-    (lne, cgx, cgy, px, py, t_o, dt_o, fail, nacc) = outs
+    (lne, cgx, cgy, px, py, t_o, dt_o, fail, nacc) = (
+        o[:nx] for o in outs)
     return PallasAdvanceResult(lne=lne, cgx=cgx, cgy=cgy, x=px, y=py, t=t_o,
                                dt=dt_o, failed=fail != 0, naccept=nacc)

@@ -1,0 +1,42 @@
+"""Shared Pallas tiling helpers.
+
+TPU vector tiles are (8, 128) for f32: an x-block size that is not a
+multiple of 8 (e.g. the largest divisor of a prime nx) degenerates into
+sublane-misaligned 1-row blocks — a silent performance cliff or a Mosaic
+lowering failure.  Instead of searching divisors, every row-tiled kernel
+pads the row axis up to a multiple of the chosen block and slices the
+outputs back (VERDICT r2 item 5).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def row_block(nx: int, block_x: int) -> Tuple[int, int]:
+    """Pick an 8-aligned x-block <= block_x and the padded row count.
+
+    Returns ``(bx, nx_pad)`` with ``bx % 8 == 0`` (unless nx itself is
+    tiny) and ``nx_pad % bx == 0``.
+    """
+    bx = max(8, (min(block_x, nx + 7) // 8) * 8)
+    nx_pad = ((nx + bx - 1) // bx) * bx
+    return bx, nx_pad
+
+
+def pad_rows(arr: jnp.ndarray, nx_pad: int, fill=None) -> jnp.ndarray:
+    """Pad the leading axis to ``nx_pad`` rows.
+
+    ``fill=None`` replicates the last row (safe for coordinates and state
+    planes — keeps the RHS/wind math finite on padding); a scalar fill is
+    for masks (pad with 0 so padded lanes stay inactive).
+    """
+    pad = nx_pad - arr.shape[0]
+    if pad <= 0:
+        return arr
+    widths = ((0, pad),) + ((0, 0),) * (arr.ndim - 1)
+    if fill is None:
+        return jnp.pad(arr, widths, mode="edge")
+    return jnp.pad(arr, widths, constant_values=fill)

@@ -143,14 +143,14 @@ def remesh_pallas(u_wind: Callable, v_wind: Callable,
     (lne, cgx, cgy) tuple.  ``time_scalar``: the model clock (traced scalar,
     enters via SMEM).
     """
+    from .pallas_util import pad_rows, row_block
+
     nx, ny = lne.shape
     if block_x <= 0:
         vmem_budget = 8 * 1024 * 1024
         block_x = max(8, vmem_budget // (ny * 30 * 4))
-    bx = min(block_x, nx)
-    while nx % bx:
-        bx -= 1
-    grid = (nx // bx,)
+    bx, nx_pad = row_block(nx, block_x)
+    grid = (nx_pad // bx,)
 
     def spec():
         return pl.BlockSpec((bx, ny), lambda i: (i, 0),
@@ -160,14 +160,19 @@ def remesh_pallas(u_wind: Callable, v_wind: Callable,
     tarr = jnp.asarray(time_scalar, lne.dtype).reshape(1, 1)
 
     e_n, mx_n, my_n = node_state
-    ins = [tarr, e_n, mx_n, my_n, lne, cgx, cgy, px, py, dt,
-           on.astype(jnp.int32), active.astype(jnp.int32),
-           boundary.astype(jnp.int32), xn, yn]
-    ins += [jnp.broadcast_to(jnp.asarray(f, lne.dtype), lne.shape)
+    # padded lanes: active/boundary/on fill 0 -> pure pass-through rows
+    ins = [tarr]
+    ins += [pad_rows(a, nx_pad)
+            for a in (e_n, mx_n, my_n, lne, cgx, cgy, px, py, dt)]
+    ins += [pad_rows(a.astype(jnp.int32), nx_pad, fill=0)
+            for a in (on, active, boundary)]
+    ins += [pad_rows(a, nx_pad) for a in (xn, yn)]
+    ins += [pad_rows(jnp.broadcast_to(jnp.asarray(f, lne.dtype), lne.shape),
+                     nx_pad)
             for f in wind_fields]
 
-    f32 = jax.ShapeDtypeStruct((nx, ny), lne.dtype)
-    i32 = jax.ShapeDtypeStruct((nx, ny), jnp.int32)
+    f32 = jax.ShapeDtypeStruct((nx_pad, ny), lne.dtype)
+    i32 = jax.ShapeDtypeStruct((nx_pad, ny), jnp.int32)
     out_shape = (f32, f32, f32, f32, f32, f32, i32, i32)
 
     kernel = functools.partial(_remesh_kernel, u_wind, v_wind, defaults,
@@ -181,6 +186,6 @@ def remesh_pallas(u_wind: Callable, v_wind: Callable,
         out_shape=out_shape,
         interpret=interpret,
     )(*ins)
-    (lne_o, cgx_o, cgy_o, px_o, py_o, dt_o, on_o, br) = outs
+    (lne_o, cgx_o, cgy_o, px_o, py_o, dt_o, on_o, br) = (o[:nx] for o in outs)
     return RemeshResult(lne=lne_o, cgx=cgx_o, cgy=cgy_o, px=px_o, py=py_o,
                         dt=dt_o, on=on_o != 0, branch=br)

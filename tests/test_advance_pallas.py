@@ -4,6 +4,7 @@ CPU; on TPU the same code compiles via Mosaic — cross-checked by bench)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from picles_tpu.core import fetch_relations as FR
 from picles_tpu.core.constants import ODESettings
@@ -56,11 +57,59 @@ def test_pallas_advance_time_dependent_winds():
 
 
 def test_pallas_block_divisor_handling():
-    """Odd grid sizes still work (block divisor search)."""
+    """Odd grid sizes still work (8-aligned blocks + row padding)."""
     mx, mp = _models(constant_winds(10.0, 5.0), n=23)
     sp = mp.init_state()
     sp = mp.step(sp)
     assert np.all(np.isfinite(np.asarray(sp.state)))
+
+
+@pytest.mark.parametrize("n", [61, 127])
+def test_pallas_prime_nx_all_kernels_match_xla(n):
+    """Prime nx: the old divisor search degenerated to 1-row blocks (a
+    Mosaic hazard / silent perf cliff); blocks are now 8-aligned with row
+    padding and must give identical results.  Runs the full production
+    stack (fused advance + deposit + remesh, small forced block_x so the
+    padding path is exercised with several tiles)."""
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(100e3, n, 50e3, 13, periodic_boundary=(True, True))
+    winds = constant_winds(10.0, 5.0)
+    mx = WaveGrowth2D(grid, winds, sett,
+                      config=WaveGrowth2DConfig(periodic_boundary=True,
+                                                dt_reset_mode="carry"))
+    mp = WaveGrowth2D(grid, winds, sett,
+                      config=WaveGrowth2DConfig(
+                          periodic_boundary=True, advance_mode="pallas",
+                          scatter_mode="dense_pallas", remesh_mode="pallas",
+                          dt_reset_mode="carry", pallas_block_x=16,
+                          pallas_interpret=True))
+    sx, sp = mx.init_state(), mp.init_state()
+    for _ in range(2):
+        sx = mx.step(sx)
+        sp = mp.step(sp)
+    np.testing.assert_allclose(np.asarray(sp.state), np.asarray(sx.state),
+                               rtol=5e-3, atol=1e-8)
+    assert int(sp.metrics.n_failed) == 0
+    for k in ("n_gather", "n_reseed", "n_off", "n_active"):
+        assert int(getattr(sp.metrics, k)) == int(getattr(sx.metrics, k)), k
+
+
+@pytest.mark.parametrize("n", [61])
+def test_auto_dt_pallas_prime_nx(n):
+    """auto_dt path (dt_reset_mode='auto') on a prime nx."""
+    mx, mp = _models(constant_winds(10.0, 5.0), n=n)
+    sx, sp = mx.init_state(), mp.init_state()
+    for _ in range(2):
+        sx = mx.step(sx)
+        sp = mp.step(sp)
+    np.testing.assert_allclose(np.asarray(sp.particles.dt),
+                               np.asarray(sx.particles.dt), rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(sp.state), np.asarray(sx.state),
+                               rtol=5e-3, atol=1e-8)
 
 
 def test_pallas_advance_gridded_winds():
