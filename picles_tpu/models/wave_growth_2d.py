@@ -238,18 +238,23 @@ class WaveGrowth2D:
         return tuple(jnp.broadcast_to(jnp.asarray(val, dtype), shp)
                      for val in (d.lne, d.cg_x, d.cg_y))
 
-    def init_state(self) -> ModelState2D:
+    def init_state(self, defaults="model") -> ModelState2D:
         """Vectorized particle seeding (reference SeedParticle,
-        core_2D.jl:434-488 + init_particles!, run.jl:199-247)."""
+        core_2D.jl:434-488 + init_particles!, run.jl:199-247).
+
+        ``defaults``: "model" uses the configured ode_init_type; a
+        ParticleDefaults2D or None overrides it (the per-layer seeding
+        path, reference T06_layers.jl)."""
         cfg = self.config
         g = self.grid
+        d = self.defaults if defaults == "model" else defaults
         u0, v0 = self.winds(g.x, g.y, jnp.zeros_like(g.x))
         u0 = jnp.broadcast_to(jnp.asarray(u0, cfg.dtype), g.x.shape)
         v0 = jnp.broadcast_to(jnp.asarray(v0, cfg.dtype), g.x.shape)
         wind_speed = jnp.sqrt(u0 ** 2 + v0 ** 2)
 
         land = g.mask == 0
-        if self.defaults is None:
+        if d is None:
             strong = wind_speed > SQRT2  # reference core_2D.jl:258
             sea = FR.get_initial_windsea(u0, v0, self.settings.timestep)
             wmin = FR.MinimalWindsea(u0, v0, self.settings.timestep)
@@ -260,7 +265,7 @@ class WaveGrowth2D:
                             wmin.cg_bar_y).astype(cfg.dtype)
             on = strong & ~land
         else:
-            lne, cgx, cgy = self._reset_values(u0, v0)
+            lne, cgx, cgy = self._reset_values(u0, v0, defaults=d)
             on = ~land
 
         e, mx, my = TR.particle_to_node(lne, cgx, cgy)
@@ -593,31 +598,56 @@ class WaveGrowth2D:
     # here every layer is a full particle system, vmapped)
     # ------------------------------------------------------------------
 
-    def init_state_layers(self) -> ModelState2D:
-        """Stack `config.layers` identical copies along a leading axis."""
+    def init_state_layers(self, per_layer_defaults=None) -> ModelState2D:
+        """Seed ``config.layers`` wave systems along a leading axis.
+
+        ``per_layer_defaults``: optional length-L sequence of
+        ParticleDefaults2D / None (windsea) — each layer seeds its own
+        system (multiple swell partitions, reference T06_layers.jl).
+        Without it every layer starts as an identical copy."""
         L = self.config.layers
-        base = self.init_state()
+        if per_layer_defaults is None:
+            base = self.init_state()
 
-        def bc(x):
-            return jnp.broadcast_to(x, (L,) + x.shape)
+            def bc(x):
+                return jnp.broadcast_to(x, (L,) + x.shape)
 
+            # metrics are per-layer [L] after step_layers: stack at init
+            # too so scan/fori_loop carries are type-stable
+            return ModelState2D(
+                state=bc(base.state),
+                particles=jax.tree.map(bc, base.particles),
+                time=base.time, iteration=base.iteration,
+                metrics=jax.tree.map(bc, base.metrics))
+        if len(per_layer_defaults) != L:
+            raise ValueError(f"need {L} per-layer defaults, "
+                             f"got {len(per_layer_defaults)}")
+        states = [self.init_state(defaults=d) for d in per_layer_defaults]
+        stack = lambda *xs: jnp.stack(xs)  # noqa: E731
         return ModelState2D(
-            state=bc(base.state),
-            particles=jax.tree.map(bc, base.particles),
-            time=base.time, iteration=base.iteration, metrics=base.metrics)
+            state=jnp.stack([s.state for s in states]),
+            particles=jax.tree.map(stack, *[s.particles for s in states]),
+            time=states[0].time, iteration=states[0].iteration,
+            metrics=jax.tree.map(stack, *[s.metrics for s in states]))
 
     def step_layers(self, ms: ModelState2D) -> ModelState2D:
-        """vmap the step over the leading layer axis (shared clock)."""
-        no_metrics = StepMetrics(*([None] * len(StepMetrics._fields)))
+        """vmap the step over the leading layer axis (shared clock;
+        metrics are per-layer [L] arrays in and out)."""
         per_layer = StepMetrics(*([0] * len(StepMetrics._fields)))
         p_axes0 = Particles2D(lne=0, cgx=0, cgy=0, px=0, py=0,
                               t=0, dt=0, on=0)
         in_axes = ModelState2D(state=0, particles=p_axes0, time=None,
-                               iteration=None, metrics=no_metrics)
+                               iteration=None, metrics=per_layer)
         out_axes = ModelState2D(state=0, particles=p_axes0, time=None,
                                 iteration=None, metrics=per_layer)
         return jax.vmap(self.step, in_axes=(in_axes,),
                         out_axes=out_axes)(ms)
+
+    def as_layered(self, per_layer_defaults=None) -> "LayeredWaveGrowth2D":
+        """Driver-compatible layered view (reference `layers` kwarg,
+        WaveGrowthModels2D.jl:112-119): Simulation/StateStore work
+        unchanged and store ``[time, layer, x, y, state]``."""
+        return LayeredWaveGrowth2D(self, per_layer_defaults)
 
     @partial(jax.jit, static_argnums=(0, 2))
     def step_n(self, ms: ModelState2D, n: int) -> Tuple[ModelState2D, jnp.ndarray]:
@@ -643,4 +673,43 @@ class WaveGrowth2D:
 
     def fields(self, ms: ModelState2D):
         """Reference ``fields(model)`` (WaveGrowthModels2D.jl:355)."""
+        return dict(State=ms.state)
+
+
+class LayeredWaveGrowth2D:
+    """Layered driver adapter: the Simulation/StateStore-facing surface of
+    a WaveGrowth2D with ``config.layers > 1`` (reference 4D State,
+    WaveGrowthModels2D.jl:112-119; exercised by tests/T06_layers.jl).
+
+    Each layer is a full particle system vmapped over a leading axis with
+    a shared clock; states are ``[L, nx, ny, 3]`` and a StateStore-backed
+    run stores ``[time, layer, x, y, state]``.
+    """
+
+    def __init__(self, model: WaveGrowth2D, per_layer_defaults=None):
+        self.model = model
+        self.per_layer_defaults = per_layer_defaults
+        self.settings = model.settings
+        self.grid = model.grid
+        self.layers = model.config.layers
+
+    def init_state(self) -> ModelState2D:
+        return self.model.init_state_layers(self.per_layer_defaults)
+
+    def step(self, ms: ModelState2D) -> ModelState2D:
+        return self.model.step_layers(ms)
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def step_n(self, ms: ModelState2D, n: int):
+        def body(carry, _):
+            nxt = self.step(carry)
+            return nxt, nxt.state
+
+        return jax.lax.scan(body, ms, None, length=n)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def step_n_quiet(self, ms: ModelState2D, n) -> ModelState2D:
+        return jax.lax.fori_loop(0, n, lambda _, s: self.step(s), ms)
+
+    def fields(self, ms: ModelState2D):
         return dict(State=ms.state)

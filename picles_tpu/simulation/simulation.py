@@ -78,14 +78,20 @@ class Simulation:
     # -- stores --------------------------------------------------------
 
     def init_state_store(self, path: str, name: str = "state") -> StateStore:
-        """Reference init_state_store! (storing.jl:83-102)."""
+        """Reference init_state_store! (storing.jl:83-102).
+
+        Layered models (``model.layers > 1``) store
+        ``[time, layer, x, y, state]`` (the reference's 4D State,
+        WaveGrowthModels2D.jl:112-119)."""
         g = self.model.grid
         nsteps = self.n_steps()
         coords = dict(
-            time=np.arange(0.0, (nsteps + 1) * self.dt, self.dt)[:nsteps + 1],
-            x=np.asarray(jax.device_get(g.x[:, 0])) if g.x.ndim == 2
-            else np.asarray(jax.device_get(g.x)),
-        )
+            time=np.arange(0.0, (nsteps + 1) * self.dt, self.dt)[:nsteps + 1])
+        layers = getattr(self.model, "layers", 1)
+        if layers > 1:
+            coords["layer"] = np.arange(layers, dtype=float)
+        coords["x"] = (np.asarray(jax.device_get(g.x[:, 0])) if g.x.ndim == 2
+                       else np.asarray(jax.device_get(g.x)))
         if g.x.ndim == 2:
             coords["y"] = np.asarray(jax.device_get(g.y[0, :]))
         coords["state"] = ["e", "m_x", "m_y"]

@@ -1,0 +1,104 @@
+"""Layers: the reference's 4th State dimension (multiple wave partitions,
+WaveGrowthModels2D.jl:112-119; tests/T06_layers.jl runs layers=10).  Each
+layer is a full particle system vmapped over a leading axis; a layered run
+stores [time, layer, x, y, state]."""
+
+import os
+
+import h5py
+import numpy as np
+import jax
+
+from picles_tpu.core import fetch_relations as FR
+from picles_tpu.core.constants import ODESettings
+from picles_tpu.forcing.winds import constant_winds
+from picles_tpu.grids.cartesian import cartesian_box
+from picles_tpu.models.wave_growth_2d import (ParticleDefaults2D,
+                                              WaveGrowth2D,
+                                              WaveGrowth2DConfig)
+from picles_tpu.simulation.simulation import Simulation
+
+
+def _model(layers, n=12):
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(100e3, n, 100e3, n, periodic_boundary=(True, True))
+    return WaveGrowth2D(grid, constant_winds(10.0, 5.0), sett,
+                        config=WaveGrowth2DConfig(periodic_boundary=True,
+                                                  layers=layers))
+
+
+def _swell_defaults(L):
+    """L distinct swell systems: energies and directions spread out."""
+    out = []
+    for k in range(L):
+        ang = 2 * np.pi * k / L
+        cg = 4.0 + 0.5 * k
+        out.append(ParticleDefaults2D(lne=float(np.log(0.002 * (k + 1))),
+                                      cg_x=float(cg * np.cos(ang)),
+                                      cg_y=float(cg * np.sin(ang))))
+    return out
+
+
+def test_layers_differ_and_evolve_independently():
+    """T06 analog: layers=10 with distinct per-layer seeding; every layer
+    carries its own field and matches the equivalent single-layer run."""
+    L = 10
+    m = _model(L)
+    defaults = _swell_defaults(L)
+    lay = m.as_layered(defaults)
+    ms = lay.init_state()
+    assert ms.state.shape == (L, 12, 12, 3)
+
+    step = jax.jit(lay.step)
+    for _ in range(3):
+        ms = step(ms)
+    S = np.asarray(ms.state)
+    assert np.all(np.isfinite(S))
+    # layers actually differ (distinct seeds -> distinct evolution)
+    for k in range(1, L):
+        assert not np.allclose(S[0], S[k], rtol=1e-3)
+
+    # layer k of the vmapped run == an unlayered model seeded the same way
+    m1 = _model(1)
+    ref = m1.init_state(defaults=defaults[3])
+    step1 = jax.jit(m1.step)
+    for _ in range(3):
+        ref = step1(ref)
+    np.testing.assert_allclose(S[3], np.asarray(ref.state), rtol=1e-5,
+                               atol=1e-8)
+
+
+def test_layered_simulation_stores_time_layer_x_y_state(tmp_path):
+    """A layered run through the driver stores [time, layer, x, y, state]
+    (VERDICT r2 item 8 'done' criterion)."""
+    L = 4
+    lay = _model(L).as_layered(_swell_defaults(L))
+    sim = Simulation.create(lay, stop_time=1800.0)
+    sim.initialize()
+    sim.init_state_store(str(tmp_path))
+    sim.run(store=True)
+    sim.store.close()
+
+    with h5py.File(os.path.join(str(tmp_path), "state.h5")) as f:
+        d = f["waves/data"]
+        assert d.shape == (5, L, 12, 12, 3)  # initial + 4 steps
+        assert list(f["waves"].attrs["dims"]) == ["time", "layer", "x", "y",
+                                                  "state"]
+        data = d[:]
+        assert np.all(np.isfinite(data))
+        # stored layers differ too
+        assert not np.allclose(data[-1, 0], data[-1, 1], rtol=1e-3)
+
+
+def test_layered_storeless_run_o_state():
+    """The storeless driver path works for layered models as well."""
+    L = 3
+    lay = _model(L).as_layered(_swell_defaults(L))
+    sim = Simulation.create(lay, stop_time=1800.0)
+    sim.run()
+    assert sim.state.state.shape == (L, 12, 12, 3)
+    assert float(sim.state.time) == 4 * 600.0
