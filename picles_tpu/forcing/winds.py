@@ -96,22 +96,41 @@ class GriddedWinds2D:
     dy: float
     t0: float
     dt: float
-    mode: str = "nearest"  # edge handling: 'nearest' (clamp) or 'wrap'
+    # Edge handling is PER-AXIS: ``mode`` applies to the two spatial axes
+    # ('nearest' = clamp, 'wrap' = periodic — the reference WindEmulator's
+    # periodic spatial extrapolation, WindEmulator.jl:18-43); ``mode_t``
+    # to the time axis ('clamp' holds the first/last frame beyond the
+    # record — a wind record shorter than the run keeps its final state —
+    # or 'wrap' to loop the record).  Previously one mode covered all
+    # three axes, so periodic space silently wrapped time too.
+    mode: str = "nearest"
+    mode_t: str = "clamp"
 
     def _coords(self, x, y, t):
+        nt, nxw, nyw = self.u_data.shape
         xi = (jnp.asarray(x) - self.x0) / self.dx
         yi = (jnp.asarray(y) - self.y0) / self.dy
         ti = (jnp.asarray(t) - self.t0) / self.dt
+
+        def fix(c, n, wrap):
+            # pre-fold into range; the residual [n-1, n) interval of a
+            # wrapped axis interpolates against sample 0 via mode='wrap'
+            return jnp.mod(c, n) if wrap else jnp.clip(c, 0.0, n - 1.0)
+
+        wrap_s = self.mode == "wrap"
+        ti = fix(ti, nt, self.mode_t == "wrap")
+        xi = fix(xi, nxw, wrap_s)
+        yi = fix(yi, nyw, wrap_s)
         ti, xi, yi = jnp.broadcast_arrays(ti, xi, yi)
         return [ti, xi, yi]
 
     def u(self, x, y, t):
         return map_coordinates(self.u_data, self._coords(x, y, t), order=1,
-                               mode=self.mode)
+                               mode="wrap")
 
     def v(self, x, y, t):
         return map_coordinates(self.v_data, self._coords(x, y, t), order=1,
-                               mode=self.mode)
+                               mode="wrap")
 
     def as_winds(self) -> Winds2D:
         return Winds2D(u=self.u, v=self.v)
@@ -190,7 +209,8 @@ def idealized_wind_grid_1d(u_func, Lx: float, T: float, dx: float,
 def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
                           v_name: str = "v10", x_name: str = "longitude",
                           y_name: str = "latitude", t_name: str = "time",
-                          mode: str = "nearest") -> GriddedWinds2D:
+                          mode: str = "nearest",
+                          mode_t: str = "clamp") -> GriddedWinds2D:
     """Load (t, x, y) wind fields from a NetCDF file into GriddedWinds2D.
 
     The analog of the reference's NCDatasets-based wind forcing
@@ -241,7 +261,8 @@ def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
 
     return GriddedWinds2D(u_data=jnp.asarray(_txy(v[u_name])),
                           v_data=jnp.asarray(_txy(v[v_name])),
-                          x0=x0, dx=dx, y0=y0, dy=dy, t0=t0, dt=dt, mode=mode)
+                          x0=x0, dx=dx, y0=y0, dy=dy, t0=t0, dt=dt,
+                          mode=mode, mode_t=mode_t)
 
 
 def slopped_blob(x, t, U10, V, T, x_scale, t_scale, x0=300e3):

@@ -64,3 +64,70 @@ def test_model_with_gridded_winds():
     assert int(ms.metrics.n_failed) == 0
     # waves exist downwind of the blob track (center row)
     assert e[8:16, 8:13].max() > 0
+
+
+def test_per_axis_edge_modes_short_wind_record():
+    """A wind record SHORTER than the run: the time axis clamps (holds the
+    last frame) independently of the spatial mode — previously choosing
+    'wrap' for periodic space also wrapped time (VERDICT r2 item 9)."""
+    nt, nxw, nyw = 4, 6, 6
+    rng = np.random.default_rng(7)
+    u = rng.uniform(6.0, 12.0, (nt, nxw, nyw)).astype(np.float32)
+    v = rng.uniform(-3.0, 3.0, (nt, nxw, nyw)).astype(np.float32)
+    kw = dict(x0=0.0, dx=20e3, y0=0.0, dy=20e3, t0=0.0, dt=600.0)
+
+    gw = GriddedWinds2D(u_data=jnp.asarray(u), v_data=jnp.asarray(v),
+                        mode="wrap", mode_t="clamp", **kw)
+    # beyond the record end (t > 3*600) the last frame holds
+    for t_late in (1800.0, 3600.0, 7200.0):
+        np.testing.assert_allclose(
+            np.asarray(gw.u(jnp.asarray([0.0, 40e3]), jnp.asarray([20e3] * 2),
+                            jnp.full(2, t_late))),
+            u[-1, [0, 2], 1], rtol=1e-6)
+    # while space wraps periodically: x = nxw*dx == x = 0
+    np.testing.assert_allclose(float(gw.u(nxw * 20e3, 0.0, 0.0)),
+                               u[0, 0, 0], rtol=1e-6)
+    # time wrap mode loops the record instead
+    gw_wrap = GriddedWinds2D(u_data=jnp.asarray(u), v_data=jnp.asarray(v),
+                             mode="wrap", mode_t="wrap", **kw)
+    np.testing.assert_allclose(float(gw_wrap.u(0.0, 0.0, nt * 600.0)),
+                               u[0, 0, 0], rtol=1e-6)
+
+
+def test_model_run_past_wind_record_end():
+    """Model integration continuing past the wind record: identical to a
+    run on a record extended by repeating the final frame."""
+    DT = 600.0
+    nt, nxw, nyw = 3, 6, 6
+    rng = np.random.default_rng(11)
+    u = rng.uniform(8.0, 12.0, (nt, nxw, nyw)).astype(np.float32)
+    v = rng.uniform(2.0, 4.0, (nt, nxw, nyw)).astype(np.float32)
+    kw = dict(x0=0.0, dx=100e3 / (nxw - 1), y0=0.0, dy=100e3 / (nyw - 1),
+              t0=0.0, dt=2 * DT)
+    short = GriddedWinds2D(u_data=jnp.asarray(u), v_data=jnp.asarray(v),
+                           **kw)
+    u_ext = np.concatenate([u, np.repeat(u[-1:], 6, axis=0)])
+    v_ext = np.concatenate([v, np.repeat(v[-1:], 6, axis=0)])
+    extended = GriddedWinds2D(u_data=jnp.asarray(u_ext),
+                              v_data=jnp.asarray(v_ext), **kw)
+
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(100e3, 12, 100e3, 12,
+                         periodic_boundary=(True, True))
+
+    def run(gw):
+        m = WaveGrowth2D(grid, gw, sett,
+                         config=WaveGrowth2DConfig(periodic_boundary=True))
+        ms = m.init_state()
+        step = jax.jit(m.step)
+        for _ in range(8):  # record covers 4 steps; 4 more past the end
+            ms = step(ms)
+        return np.asarray(ms.state)
+
+    # f32 frac rounding at the clamp boundary (frac ~1e-7 against the
+    # wrap neighbor) is amplified by the adaptive solver to ~1e-4; a
+    # wrong-frame bug would be ~10%
+    np.testing.assert_allclose(run(short), run(extended), rtol=1e-3)
