@@ -248,12 +248,11 @@ def auto_dt_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
     two RHS evaluations; this kernel keeps everything in VMEM.  Tiled like
     ``advance_pallas``; same wind-sampler contract (see ``advance_pallas``).
     """
-    from .pallas_util import pad_rows, row_block
+    from .pallas_util import auto_block_x, pad_rows, row_block
 
     nx, ny = t.shape
     if block_x <= 0:
-        vmem_budget = 8 * 1024 * 1024
-        block_x = max(8, vmem_budget // (ny * 30 * 4))
+        block_x = auto_block_x(ny, 64)  # measured stack, see auto_block_x
     bx, nx_pad = row_block(nx, block_x)
     grid = (nx_pad // bx,)
 
@@ -302,12 +301,11 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
     (pass ``()``); gridded winds pass their per-step linearization
     (see forcing.winds.GriddedWinds2D.pallas_linear_fields).
     """
-    from .pallas_util import pad_rows, row_block
+    from .pallas_util import auto_block_x, pad_rows, row_block
 
     nx, ny = t.shape
     if block_x <= 0:
-        vmem_budget = 8 * 1024 * 1024  # bytes, conservative half of VMEM
-        block_x = max(8, vmem_budget // (ny * 45 * 4))
+        block_x = auto_block_x(ny, 93)  # measured Mosaic stack footprint
     # 8-aligned block + row padding: any nx (incl. primes) tiles cleanly
     bx, nx_pad = row_block(nx, block_x)
     grid = (nx_pad // bx,)

@@ -26,6 +26,25 @@ def row_block(nx: int, block_x: int) -> Tuple[int, int]:
     return bx, nx_pad
 
 
+def auto_block_x(ny: int, n_buffers: int, *, dtype_bytes: int = 4,
+                 vmem_budget: int = 14 * 1024 * 1024) -> int:
+    """Size an x-block from a VMEM budget against the 16 MB scoped limit.
+
+    Mosaic lays each [bx, ny] VMEM buffer out in (8, 128) tiles, so the
+    lane axis occupies ``ceil(ny/128)*128`` lanes regardless of ny.
+    ``n_buffers`` is the *measured* stack footprint in f32-buffer units
+    (Mosaic's scoped allocation counts in/out double-buffering plus every
+    live temporary through the while body), not the hand-counted live
+    lanes: the advance kernel's compile-time request at [256, 180] was
+    24.28 MB = 92.6 buffers (vs 45 naively counted).  Sizing with the
+    naive count over-blocks ~2x and trips the scoped-vmem limit at
+    awkward ny (observed at the 360x180 tripolar grid).
+    """
+    ny_lanes = ((ny + 127) // 128) * 128
+    per_row = ny_lanes * n_buffers * dtype_bytes
+    return max(8, vmem_budget // per_row)
+
+
 def pad_rows(arr: jnp.ndarray, nx_pad: int, fill=None) -> jnp.ndarray:
     """Pad the leading axis to ``nx_pad`` rows.
 

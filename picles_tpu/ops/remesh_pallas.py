@@ -143,12 +143,11 @@ def remesh_pallas(u_wind: Callable, v_wind: Callable,
     (lne, cgx, cgy) tuple.  ``time_scalar``: the model clock (traced scalar,
     enters via SMEM).
     """
-    from .pallas_util import pad_rows, row_block
+    from .pallas_util import auto_block_x, pad_rows, row_block
 
     nx, ny = lne.shape
     if block_x <= 0:
-        vmem_budget = 8 * 1024 * 1024
-        block_x = max(8, vmem_budget // (ny * 30 * 4))
+        block_x = auto_block_x(ny, 64)  # measured stack, see auto_block_x
     bx, nx_pad = row_block(nx, block_x)
     grid = (nx_pad // bx,)
 

@@ -343,3 +343,26 @@ def test_remesh_pallas_requires_carry():
                                                pallas_interpret=True))
     with pytest.raises(ValueError):
         m.step(m.init_state())
+
+
+def test_auto_block_x_respects_scoped_vmem_limit():
+    """The VMEM-budget block sizing must keep the Mosaic stack under the
+    16 MB scoped limit for any ny, including lane-padded awkward sizes.
+
+    Regression: at 360x180 (1-deg tripolar grid) the naive
+    ``budget // (ny * n * 4)`` sizing picked a 256-row block whose
+    compile-time stack request was 24.28 MB (93 f32 buffers after lane
+    padding 180 -> 256), an AOT OOM on the real chip.
+    """
+    from picles_tpu.ops.pallas_util import auto_block_x, row_block
+
+    LIMIT = 16 * 1024 * 1024
+    for ny in (24, 51, 127, 180, 256, 768, 1536, 3072):
+        for n_buf in (64, 93):
+            bx, _ = row_block(10_000, auto_block_x(ny, n_buf))
+            ny_lanes = ((ny + 127) // 128) * 128
+            stack = bx * ny_lanes * 4 * n_buf
+            assert stack <= LIMIT, (ny, n_buf, bx, stack)
+            assert bx % 8 == 0
+    # the production 1536^2 bench config keeps its proven 24-row block
+    assert row_block(1536, auto_block_x(1536, 93))[0] == 24
