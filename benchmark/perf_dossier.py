@@ -1,0 +1,120 @@
+"""Perf dossier: size sweep x solver x backend with roofline accounting.
+
+For each config this measures the per-step wall time (scan-length
+difference, fixed sync overhead cancels) and pulls XLA's compile-time cost
+analysis of the single-step executable (bytes accessed, flops) to place the
+step on the HBM roofline of the chip.  Emits one JSON line per config (for
+docs/PERF.md) plus a human table on stderr.
+
+Run:  python benchmark/perf_dossier.py [--fast]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from bench import build
+
+# TPU v5e (1 chip): 819 GB/s HBM, ~197 TFLOP/s bf16 MXU; the VPU f32
+# elementwise peak is not published — utilization is reported against HBM
+# bandwidth, the binding resource for this all-elementwise workload.
+HBM_GBPS_PEAK = 819.0
+
+
+def measure(nx, ny, *, solver="bosh3", advance_mode="pallas",
+            dt_reset_mode="carry", reps=3):
+    model = build(nx, ny, advance_mode=advance_mode,
+                  dt_reset_mode=dt_reset_mode, solver=solver)
+    ms = model.init_state()
+
+    def run_n(c, n):
+        return jax.lax.fori_loop(0, n, lambda _, s: model.step(s), c)
+
+    run_jit = jax.jit(run_n)
+    ms = run_jit(ms, 4)
+    _ = float(ms.state[0, 0, 0])
+
+    n_small, n_big = (50, 550) if nx * ny < 200_000 else (10, 40)
+    for n in (n_small, n_big):
+        _ = float(run_jit(ms, n).state[0, 0, 0])
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = float(run_jit(ms, n).state[0, 0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    s_step = (timed(n_big) - timed(n_small)) / (n_big - n_small)
+
+    # XLA cost analysis of ONE step (bytes accessed ~= HBM traffic after
+    # fusion; flops excludes what runs inside pallas custom-calls)
+    try:
+        ca = jax.jit(model.step).lower(ms).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        gbytes = float(ca.get("bytes accessed", 0.0)) / 1e9
+        gflops = float(ca.get("flops", 0.0)) / 1e9
+    except Exception:
+        gbytes = gflops = float("nan")
+
+    return dict(nx=nx, ny=ny, solver=solver, advance=advance_mode,
+                dt_reset=dt_reset_mode,
+                ms_per_step=s_step * 1e3,
+                pushes_per_s=nx * ny / s_step,
+                hbm_gb_per_step=gbytes,
+                achieved_hbm_gbps=gbytes / s_step,
+                hbm_util_pct=100.0 * gbytes / s_step / HBM_GBPS_PEAK,
+                xla_gflops_per_step=gflops)
+
+
+def main():
+    fast = "--fast" in sys.argv
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/picles_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    configs = [
+        # size sweep, production config (pallas + carry + bosh3)
+        dict(nx=256, ny=256),
+        dict(nx=768, ny=768),
+        dict(nx=1536, ny=1536),
+        dict(nx=3072, ny=3072),
+        # solver comparison at the flagship size
+        dict(nx=1536, ny=1536, solver="tsit5"),
+        # backend ablations at the flagship size
+        dict(nx=1536, ny=1536, advance_mode="xla"),
+        dict(nx=1536, ny=1536, dt_reset_mode="auto"),
+        # the reference's own 51x51 config (BASELINE: 0.105 s / 2 steps)
+        dict(nx=51, ny=51),
+    ]
+    if fast:
+        configs = [c for c in configs if c["nx"] <= 768]
+
+    rows = []
+    for c in configs:
+        try:
+            r = measure(**c)
+        except Exception as e:
+            print(f"FAILED {c}: {type(e).__name__}: {e}", file=sys.stderr)
+            continue
+        rows.append(r)
+        print(json.dumps(r))
+        print(f"{r['nx']:>5}x{r['ny']:<5} {r['solver']:<6} "
+              f"adv={r['advance']:<6} dt={r['dt_reset']:<5} "
+              f"{r['ms_per_step']:8.3f} ms/step  "
+              f"{r['pushes_per_s']:.3e} pushes/s  "
+              f"HBM {r['achieved_hbm_gbps']:6.1f} GB/s "
+              f"({r['hbm_util_pct']:.0f}%)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

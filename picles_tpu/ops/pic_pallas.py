@@ -95,7 +95,7 @@ def _accum_kernel(xl: int, xh: int, yl: int, yh: int,
 
 def scatter_padded_channels_pallas(
         xrel: jnp.ndarray, yrel: jnp.ndarray, charge, active: jnp.ndarray,
-        halo, *, block_x: int = 64,
+        halo, *, block_x: int = 64, block_y: int = 0,
         interpret: bool = False) -> Tuple[Tuple[jnp.ndarray, ...], ScatterStats]:
     """Channel-plane core: returns 3 padded [nx+xl+xh, ny+yl+yh] planes.
 
@@ -124,7 +124,28 @@ def scatter_padded_channels_pallas(
     bp = min(block_x, 8 * ((npx + 7) // 8))
     bp = max(8, (bp // 8) * 8)
     npx_pad = ((npx + bp - 1) // bp) * bp
-    bc = min(256, 128 * ((nyp + 127) // 128))
+    if block_y <= 0:
+        # widest column block that fits VMEM: every input window pays a
+        # fixed 2*PADC=128-lane surcharge, so fewer/wider column blocks
+        # read fewer total lanes (full-width = one j-block = surcharge paid
+        # once; measured 0.21 vs 0.32 ms at 1536^2 vs the old fixed 256).
+        full = 128 * ((nyp + 127) // 128)
+        budget = 15 * 1024 * 1024
+
+        def vmem(bc):
+            # 5 input windows + 3 output blocks, double-buffered; the x1.9
+            # covers the kernel's window-sized temporaries (weights, WX
+            # planes, per-dy partials) in Mosaic's scoped stack — measured
+            # 26.58 MB actual vs 14.5 MB I/O-only estimate at 3072^2.
+            io = (5 * (bp + 2 * PADR) * (bc + 2 * PADC)
+                  + 3 * bp * bc) * 4 * 2
+            return (io * 19) // 10
+
+        bc = full
+        while bc > 256 and vmem(bc) > budget:
+            bc -= 128
+        block_y = bc
+    bc = min(block_y, 128 * ((nyp + 127) // 128))
     nyp_pad = ((nyp + bc - 1) // bc) * bc
 
     # particle i lives at padded row i + PADR + xl, col j + PADC + yl
