@@ -77,6 +77,7 @@ def main():
         grid, winds, sett,
         config=pt.WaveGrowth2DConfig(periodic_boundary=True,
                                      advance_mode="pallas",
+                                     scatter_mode="dense_pallas",
                                      dt_reset_mode="carry"))
 
     # --- step timing (scan-length difference; fixed sync overhead cancels)

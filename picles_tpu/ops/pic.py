@@ -246,12 +246,11 @@ def scatter(xrel, yrel, charge, active, stats: GridStats, halo,
     if mode == "dense":
         return scatter_dense(xrel, yrel, charge, active, stats, halo)
     if mode == "dense_pallas":
-        from .pic_pallas import scatter_accumulate_padded_pallas
+        from .pic_pallas import scatter_core_channels_pallas
 
-        P, st = scatter_accumulate_padded_pallas(xrel, yrel, charge, active,
-                                                 halo, interpret=interpret)
-        Q = fold_padded_x(P, stats.bx, halo)
-        return fold_padded_y(Q, stats.by, halo), st
+        planes, st = scatter_core_channels_pallas(
+            xrel, yrel, charge, active, stats, halo, interpret=interpret)
+        return jnp.stack(planes, axis=-1), st
     if mode == "xla":
         return scatter_xla(xrel, yrel, charge, active, stats, halo)
     raise ValueError(f"unknown scatter mode {mode!r}")
@@ -264,15 +263,13 @@ def scatter_channels(xrel, yrel, chans: Tuple[jnp.ndarray, ...], active,
     [nx, ny] arrays instead of a stacked [nx, ny, C] (the models' hot path —
     a C-wide minor dim pads badly into TPU (8, 128) tiles)."""
     if mode == "dense_pallas":
-        from .pic_pallas import scatter_padded_channels_pallas
+        from .pic_pallas import scatter_core_channels_pallas
 
-        Ps, st = scatter_padded_channels_pallas(xrel, yrel, chans, active,
-                                                halo, interpret=interpret)
-        out = []
-        for P in Ps:  # the folds are rank-agnostic (leading two dims)
-            Q = fold_padded_x(P, stats.bx, halo)
-            out.append(fold_padded_y(Q, stats.by, halo))
-        return tuple(out), st
+        # single gather pass with boundary-folded inputs: no padded
+        # accumulator, no post-fold plane passes
+        return scatter_core_channels_pallas(xrel, yrel, chans, active,
+                                            stats, halo,
+                                            interpret=interpret)
     S, st = scatter(xrel, yrel, jnp.stack(chans, axis=-1), active, stats,
                     halo, mode, interpret)
     return tuple(S[..., i] for i in range(len(chans))), st

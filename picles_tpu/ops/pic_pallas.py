@@ -125,26 +125,7 @@ def scatter_padded_channels_pallas(
     bp = max(8, (bp // 8) * 8)
     npx_pad = ((npx + bp - 1) // bp) * bp
     if block_y <= 0:
-        # widest column block that fits VMEM: every input window pays a
-        # fixed 2*PADC=128-lane surcharge, so fewer/wider column blocks
-        # read fewer total lanes (full-width = one j-block = surcharge paid
-        # once; measured 0.21 vs 0.32 ms at 1536^2 vs the old fixed 256).
-        full = 128 * ((nyp + 127) // 128)
-        budget = 15 * 1024 * 1024
-
-        def vmem(bc):
-            # 5 input windows + 3 output blocks, double-buffered; the x1.9
-            # covers the kernel's window-sized temporaries (weights, WX
-            # planes, per-dy partials) in Mosaic's scoped stack — measured
-            # 26.58 MB actual vs 14.5 MB I/O-only estimate at 3072^2.
-            io = (5 * (bp + 2 * PADR) * (bc + 2 * PADC)
-                  + 3 * bp * bc) * 4 * 2
-            return (io * 19) // 10
-
-        bc = full
-        while bc > 256 and vmem(bc) > budget:
-            bc -= 128
-        block_y = bc
+        block_y = _best_block_y(nyp, bp, PADR, PADC)
     bc = min(block_y, 128 * ((nyp + 127) // 128))
     nyp_pad = ((nyp + bc - 1) // bc) * bc
 
@@ -174,6 +155,169 @@ def scatter_padded_channels_pallas(
         interpret=interpret,
     )(*ins)
     return ((o0[:npx, :nyp], o1[:npx, :nyp], o2[:npx, :nyp]),
+            ScatterStats(clamped=clamped))
+
+
+def _best_block_y(ny: int, bp: int, PADR: int, PADC: int) -> int:
+    """Column-block width minimizing HBM bytes under the scoped-VMEM limit.
+
+    Every input window pays a fixed 2*PADC=128-lane surcharge per column
+    block (fewer/wider blocks amortize it), but a bc that does not divide
+    ny wastes ``ny_pad - ny`` lanes on all 5 inputs and 3 outputs (e.g.
+    full-width-capped bc=1664 at ny=3072 pads to 3328 — 8% waste — while
+    bc=1536 tiles exactly).  Minimize the actual per-plane traffic
+    ``5 * n_blocks * (bc + 2*PADC) + 3 * ny_pad`` over 128-multiples that
+    fit Mosaic's scoped stack (I/O x1.9 for window-sized temporaries,
+    measured 26.58 MB actual vs 14.5 MB I/O-only at 3072^2).
+    """
+    budget = 15 * 1024 * 1024
+    full = 128 * ((ny + 127) // 128)
+
+    def vmem(bc):
+        io = (5 * (bp + 2 * PADR) * (bc + 2 * PADC) + 3 * bp * bc) * 4 * 2
+        return (io * 19) // 10
+
+    def traffic(bc):
+        nblk = (ny + bc - 1) // bc
+        return 5 * nblk * (bc + 2 * PADC) + 3 * nblk * bc
+
+    cands = [bc for bc in range(256, full + 1, 128) if vmem(bc) <= budget]
+    if not cands:
+        return 256
+    return min(cands, key=lambda bc: (traffic(bc), -bc))
+
+
+def scatter_core_channels_pallas(
+        xrel: jnp.ndarray, yrel: jnp.ndarray, charge, active: jnp.ndarray,
+        stats, halo, *, block_x: int = 64, block_y: int = 0,
+        interpret: bool = False) -> Tuple[Tuple[jnp.ndarray, ...], ScatterStats]:
+    """Boundary-folded CIC deposit in ONE gather pass: returns core
+    [nx, ny] planes directly, no padded accumulator and no post-fold.
+
+    The padded-accumulator path costs ~12 extra HBM plane passes (slice
+    copies + halo-slab adds) after the gather.  Here the *inputs* are
+    extended with boundary-aware slabs instead, so each output tile's
+    gather window already sees every contribution that would have folded
+    onto it:
+
+    - periodic axis: slabs are wrapped copies of the opposite edge,
+    - non-periodic axis: zero slabs (out-of-domain deposits drop,
+      reference ParticleInCell.jl:351-355),
+    - tripolar north seam: mirrored ghost slabs.  A deposit crossing the
+      seam folds to ``gy' = 2*ny - 1 - gy`` with the x index flipped
+      (``gx' = (nx - 2 - gx) mod nx``, TripolarNorthBoundary,
+      ParticleInCell.jl:409-428).  The reflection ``y_abs -> 2*ny-1-y_abs``,
+      ``x_abs -> nx-2-x_abs`` maps CIC floor/ceil deposits of the real
+      particle exactly onto the folded targets (the fractional weight
+      flips with the coordinate), so a ghost copy of the top rows — node
+      flipped via the seam map, relative offsets negated — reproduces the
+      fold bit-for-bit in gather form.  Ghosts deposit in mirrored
+      directions, so the gather window is widened to the symmetric
+      ``max(lo, hi)`` per axis for tripolar grids only.
+
+    Positions are pre-clipped to the declared halo capacity (violations
+    counted in ``ScatterStats.clamped``), so the kernel's wider in-window
+    clip never re-clamps a real or ghost particle.
+    """
+    from .pic import normalize_halo
+    from ..grids.base import Boundary
+
+    chans = (charge if isinstance(charge, tuple)
+             else tuple(charge[..., i] for i in range(3)))
+    assert len(chans) == 3, "pallas accumulate kernel is specialized to 3 channels"
+    nx, ny = chans[0].shape
+    (xl, xh), (yl, yh) = normalize_halo(halo)
+
+    clamped = jnp.sum(((xrel < -float(xl)) | (xrel > float(xh) - 1e-5)
+                       | (yrel < -float(yl)) | (yrel > float(yh) - 1e-5))
+                      & active)
+    xr = jnp.clip(xrel, -float(xl), float(xh) - 1e-5)
+    yr = jnp.clip(yrel, -float(yl), float(yh) - 1e-5)
+    act = active.astype(chans[0].dtype)
+    ch = [c * act for c in chans]
+
+    tripolar = stats.by == Boundary.TRIPOLAR_NORTH
+    if tripolar:
+        mx, my = max(xl, xh), max(yl, yh)
+        kxl = kxh = mx
+        kyl = kyh = my
+    else:
+        kxl, kxh, kyl, kyh = xl, xh, yl, yh
+
+    H_row = max(kxl, kxh)
+    PADR = max(4, ((H_row + 3) // 4) * 4)
+    PADC = 64
+
+    # --- tile geometry: core output [nx, ny]; the extended input sits at
+    # offset (PADR, PADC) inside the padded plane
+    bp = min(block_x, 8 * ((nx + 7) // 8))
+    bp = max(8, (bp // 8) * 8)
+    nx_pad = ((nx + bp - 1) // bp) * bp
+    if block_y <= 0:
+        block_y = _best_block_y(ny, bp, PADR, PADC)
+    bc = min(block_y, 128 * ((ny + 127) // 128))
+    ny_pad = ((ny + bc - 1) // bc) * bc
+
+    # --- build each padded plane as ONE buffer with in-place slab writes
+    # (a concat/pad chain materializes the plane 2-3x; dynamic-update-
+    # slices keep it to the single unavoidable copy)
+    R, C = nx_pad + 2 * PADR, ny_pad + 2 * PADC
+    r0, c0 = PADR, PADC
+
+    def build(a, negate_ghost):
+        # full-x column slabs (y axis): wrap copies or mirrored seam
+        # ghosts (the seam flip spans the whole x axis, so slabs are
+        # computed at full x and the corner strips sliced from them)
+        lo = jnp.zeros((nx, kyh), a.dtype)
+        hi = jnp.zeros((nx, kyl), a.dtype)
+        if stats.by == Boundary.PERIODIC:
+            if kyh > 0:
+                lo = a[:, ny - kyh:]
+            if kyl > 0:
+                hi = a[:, :kyl]
+        elif tripolar and kyl > 0:
+            # ghost col ny+k mirrors core col ny-1-k through the seam
+            src = a[:, ny - 1:ny - 1 - kyl:-1] if kyl < ny else a[:, ::-1]
+            src = jnp.roll(src[::-1, :], -1, axis=0)  # x seam flip
+            hi = -src if negate_ghost else src
+
+        def col_ext(sl):
+            return jnp.concatenate([lo[sl], a[sl], hi[sl]], axis=1)
+
+        P = (jnp.zeros((R, C), a.dtype)
+             .at[r0:r0 + nx, c0 - kyh:c0 + ny + kyl].set(col_ext(slice(None))))
+        # x-wrap strips derive from the full-x slabs (tiny [kx, *] reads),
+        # so every update-slice is independent and XLA keeps one buffer
+        if stats.bx == Boundary.PERIODIC:
+            if kxh > 0:
+                P = P.at[r0 - kxh:r0, c0 - kyh:c0 + ny + kyl].set(
+                    col_ext(slice(nx - kxh, None)))
+            if kxl > 0:
+                P = P.at[r0 + nx:r0 + nx + kxl, c0 - kyh:c0 + ny + kyl].set(
+                    col_ext(slice(0, kxl)))
+        return P
+
+    ins = [build(xr, True), build(yr, True)] + [build(c, False) for c in ch]
+
+    grid = (nx_pad // bp, ny_pad // bc)
+    win_rows = bp + 2 * PADR
+    win_cols = bc + 2 * PADC
+    in_specs = [pl.BlockSpec((pl.Element(win_rows), pl.Element(win_cols)),
+                             lambda i, j: (i * bp, j * bc),
+                             memory_space=pltpu.VMEM) for _ in ins]
+    out_spec = pl.BlockSpec((bp, bc), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((nx_pad, ny_pad), chans[0].dtype)
+    kernel = functools.partial(_accum_kernel, kxl, kxh, kyl, kyh,
+                               PADR, PADC, bp, bc)
+    o0, o1, o2 = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(f32, f32, f32),
+        interpret=interpret,
+    )(*ins)
+    return ((o0[:nx, :ny], o1[:nx, :ny], o2[:nx, :ny]),
             ScatterStats(clamped=clamped))
 
 

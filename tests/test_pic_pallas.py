@@ -76,3 +76,56 @@ def test_model_step_with_pallas_scatter():
     # f32 accumulation-order differences compound through exp/log round-trips
     np.testing.assert_allclose(np.asarray(s1.state), np.asarray(s2.state),
                                rtol=2e-3, atol=1e-9)
+
+
+@pytest.mark.parametrize("halo", [3, ((0, 3), (0, 3)), ((1, 2), (0, 3)),
+                                  ((2, 0), (3, 1))])
+def test_core_gather_matches_fold_all_boundaries(halo):
+    """The one-pass boundary-folded gather (wrap/zero/ghost input slabs)
+    must equal pad-and-fold for every boundary family and asymmetric
+    halo, including the tripolar seam's mirrored ghosts."""
+    from picles_tpu.ops.pic_pallas import scatter_core_channels_pallas
+
+    rng = np.random.default_rng(3)
+    nx, ny = 22, 18
+    (xlo, xhi), (ylo, yhi) = pic.normalize_halo(halo)
+    xr = jnp.asarray(rng.uniform(-xlo, xhi - 1e-3, (nx, ny)), jnp.float32)
+    yr = jnp.asarray(rng.uniform(-ylo, yhi - 1e-3, (nx, ny)), jnp.float32)
+    ch = tuple(jnp.asarray(rng.uniform(0, 1, (nx, ny)), jnp.float32)
+               for _ in range(3))
+    act = jnp.asarray(rng.uniform(0, 1, (nx, ny)) > 0.25)
+    for bx in (Boundary.PERIODIC, Boundary.NONPERIODIC):
+        for by in (Boundary.PERIODIC, Boundary.NONPERIODIC,
+                   Boundary.TRIPOLAR_NORTH):
+            if by == Boundary.TRIPOLAR_NORTH and bx != Boundary.PERIODIC:
+                continue
+            st = GridStats(nx=nx, ny=ny, bx=bx, by=by)
+            S1, s1 = pic.scatter(xr, yr, jnp.stack(ch, -1), act, st, halo,
+                                 "dense")
+            (c0, c1, c2), s2 = scatter_core_channels_pallas(
+                xr, yr, ch, act, st, halo, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(S1), np.stack([c0, c1, c2], -1), rtol=1e-5,
+                atol=1e-6, err_msg=f"{bx} {by} halo={halo}")
+            assert int(s1.clamped) == int(s2.clamped)
+
+
+def test_core_gather_clamps_capacity_violations():
+    """Displacements beyond the declared halo are clamped (and counted)
+    identically to the XLA dense path, not silently folded further."""
+    from picles_tpu.ops.pic_pallas import scatter_core_channels_pallas
+
+    nx, ny = 16, 12
+    halo = ((0, 2), (0, 2))
+    xr = jnp.full((nx, ny), 2.7, jnp.float32)   # beyond x_hi=2
+    yr = jnp.full((nx, ny), -0.4, jnp.float32)  # beyond x_lo=0
+    ch = tuple(jnp.ones((nx, ny), jnp.float32) for _ in range(3))
+    act = jnp.ones((nx, ny), bool)
+    st = GridStats(nx=nx, ny=ny, bx=Boundary.PERIODIC, by=Boundary.PERIODIC)
+    S1, s1 = pic.scatter(xr, yr, jnp.stack(ch, -1), act, st, halo, "dense")
+    (c0, c1, c2), s2 = scatter_core_channels_pallas(
+        xr, yr, ch, act, st, halo, interpret=True)
+    np.testing.assert_allclose(np.asarray(S1),
+                               np.stack([c0, c1, c2], -1), rtol=1e-5,
+                               atol=1e-6)
+    assert int(s1.clamped) == int(s2.clamped) == nx * ny
