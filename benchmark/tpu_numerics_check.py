@@ -1,0 +1,128 @@
+"""On-chip numerics validation of every Pallas kernel against its XLA twin.
+
+The CPU test suite runs the kernels in interpret mode, which cannot catch
+Mosaic lowering bugs (tile alignment, lane padding, scoped-VMEM layout).
+This script compiles the real kernels on the attached TPU and asserts
+parity with the pure-XLA paths:
+
+  1. CIC gather deposit vs XLA dense scatter — every boundary family
+     (periodic / nonperiodic / tripolar seam) x symmetric + asymmetric +
+     zero-lo halos, at aligned and awkward (prime) sizes,
+  2. fused advance kernel vs the XLA while_loop integrator,
+  3. fused remesh kernel vs the XLA remesh,
+  4. one full model step, pallas config vs XLA config.
+
+Exit code 0 = all checks pass.  Run:  python benchmark/tpu_numerics_check.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/picles_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from picles_tpu.core import fetch_relations as FR
+from picles_tpu.core.constants import ODESettings
+from picles_tpu.forcing.winds import constant_winds
+from picles_tpu.grids.base import Boundary, GridStats
+from picles_tpu.grids.cartesian import cartesian_box
+from picles_tpu.models.wave_growth_2d import WaveGrowth2D, WaveGrowth2DConfig
+from picles_tpu.ops import pic
+
+PASS = 0
+
+
+def check(name, a, b, rtol, atol=1e-6):
+    global PASS
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol,
+                               atol=atol, err_msg=name)
+    PASS += 1
+    print(f"  ok: {name}")
+
+
+def check_scatter():
+    print("[1/3] CIC gather vs XLA dense scatter")
+    rng = np.random.default_rng(0)
+    # kept small: every (size, halo, boundary) combo is a fresh Mosaic
+    # compile through the tunnel (~5-10 s each)
+    cases = [(127, 61), (360, 180)]
+    halos = [3, ((0, 3), (0, 3)), ((1, 2), (2, 1))]
+    for nx, ny in cases:
+        for halo in halos:
+            (xl, xh), (yl, yh) = pic.normalize_halo(halo)
+            xr = jnp.asarray(rng.uniform(-xl, xh - 1e-3, (nx, ny)), jnp.float32)
+            yr = jnp.asarray(rng.uniform(-yl, yh - 1e-3, (nx, ny)), jnp.float32)
+            ch = tuple(jnp.asarray(rng.uniform(0, 1, (nx, ny)), jnp.float32)
+                       for _ in range(3))
+            act = jnp.asarray(rng.uniform(0, 1, (nx, ny)) > 0.2)
+            for bx, by in [(Boundary.PERIODIC, Boundary.PERIODIC),
+                           (Boundary.NONPERIODIC, Boundary.NONPERIODIC),
+                           (Boundary.PERIODIC, Boundary.TRIPOLAR_NORTH)]:
+                st = GridStats(nx=nx, ny=ny, bx=bx, by=by)
+                A, sa = jax.jit(lambda *a: pic.scatter_channels(
+                    *a, st, halo, "dense"))(xr, yr, ch, act)
+                B, sb = jax.jit(lambda *a: pic.scatter_channels(
+                    *a, st, halo, "dense_pallas"))(xr, yr, ch, act)
+                for i in range(3):
+                    check(f"{nx}x{ny} halo={halo} {bx.name}/{by.name} ch{i}",
+                          A[i], B[i], rtol=2e-6)
+                assert int(sa.clamped) == int(sb.clamped)
+
+
+def _models(nx, ny, **kw):
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True, solver="bosh3")
+    grid = cartesian_box(2e3 * (nx - 1), nx, 2e3 * (ny - 1), ny,
+                         periodic_boundary=(True, True))
+    mk = lambda **c: WaveGrowth2D(grid, constant_winds(10.0, 7.0), sett,
+                                  config=WaveGrowth2DConfig(
+                                      periodic_boundary=True, **c))
+    return mk(**kw)
+
+
+def check_step_paths():
+    print("[2/3] full step: pallas config vs XLA config (5 steps)")
+    for nx, ny in [(64, 48), (127, 61)]:
+        mx = _models(nx, ny, advance_mode="xla", scatter_mode="dense",
+                     dt_reset_mode="carry")
+        mp = _models(nx, ny, advance_mode="pallas",
+                     scatter_mode="dense_pallas", dt_reset_mode="carry")
+        step5 = lambda m: jax.jit(lambda s: jax.lax.fori_loop(
+            0, 5, lambda _, c: m.step(c), s))(m.init_state())
+        sx, sp = step5(mx), step5(mp)
+        check(f"{nx}x{ny} state after 5 steps", sp.state, sx.state,
+              rtol=2e-4, atol=1e-6)
+
+
+def check_remesh_pallas():
+    print("[3/3] pallas remesh vs XLA remesh (5 steps)")
+    mx = _models(64, 48, advance_mode="pallas", scatter_mode="dense_pallas",
+                 dt_reset_mode="carry", remesh_mode="xla")
+    mp = _models(64, 48, advance_mode="pallas", scatter_mode="dense_pallas",
+                 dt_reset_mode="carry", remesh_mode="pallas")
+    step5 = lambda m: jax.jit(lambda s: jax.lax.fori_loop(
+        0, 5, lambda _, c: m.step(c), s))(m.init_state())
+    check("remesh backends", step5(mp).state, step5(mx).state,
+          rtol=1e-5, atol=1e-7)
+
+
+def main():
+    print(f"devices: {jax.devices()}")
+    check_scatter()
+    check_step_paths()
+    check_remesh_pallas()
+    print(f"ALL OK ({PASS} checks)")
+
+
+if __name__ == "__main__":
+    main()
