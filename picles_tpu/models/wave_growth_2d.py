@@ -64,8 +64,11 @@ class WaveGrowth2DConfig:
     # "wind_sea" -> seed/reset from local winds; or a ParticleDefaults2D
     ode_init_type: Union[str, ParticleDefaults2D] = "wind_sea"
     boundary_type: str = "same"   # "wind_sea" | "mininmal" | "same"
-    scatter_mode: str = "dense"   # "dense" | "xla"
-    advance_mode: str = "xla"     # "xla" (lax.while_loop) | "pallas" (fused)
+    # "auto" resolves per backend at model construction: the fused Pallas
+    # kernels on TPU, the XLA twins elsewhere (numerics agree to solver
+    # tolerance — cross-checked in tests and benchmark/tpu_numerics_check)
+    scatter_mode: str = "auto"    # "auto" | "dense" | "dense_pallas" | "xla"
+    advance_mode: str = "auto"    # "auto" | "xla" | "pallas"
     # "auto": Hairer auto_dt on every reseed/gather (reference
     # auto_dt_reset! semantics, mapping_2D.jl:91-111).  "carry": warm
     # restart — keep the particle's adapted dt across the remesh; accuracy
@@ -86,6 +89,27 @@ class WaveGrowth2DConfig:
     dtype: type = jnp.float32
     pallas_block_x: int = 0         # 0 = auto (VMEM-budget sized)
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
+
+
+def _resolve_auto_modes(cfg: "WaveGrowth2DConfig") -> "WaveGrowth2DConfig":
+    """Resolve ``"auto"`` kernel backends at model construction.
+
+    On TPU the fused Pallas advance + one-pass CIC gather are 5.5x / 1.5x
+    faster than the XLA twins (docs/PERF.md); on CPU (the test mesh) and
+    other backends the XLA paths are the ones that compile.  Explicit
+    modes always win — ``"auto"`` only fills the unspecified default.
+    """
+    import dataclasses as _dc
+
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() == "tpu"
+    upd = {}
+    if cfg.advance_mode == "auto":
+        upd["advance_mode"] = "pallas" if on_tpu else "xla"
+    if cfg.scatter_mode == "auto":
+        upd["scatter_mode"] = "dense_pallas" if on_tpu else "dense"
+    return _dc.replace(cfg, **upd) if upd else cfg
 
 
 class WaveGrowth2D:
@@ -118,7 +142,7 @@ class WaveGrowth2D:
             self.gridded_winds = gw if isinstance(gw, GriddedWinds2D) else None
         self.winds = winds
         self.settings = ode_settings
-        self.config = config
+        self.config = config = _resolve_auto_modes(config)
         if ode_params is None:
             ode_params, constants, _ = ODEParameters.create()
         self.params = ode_params

@@ -324,3 +324,18 @@ def test_boundary_type_validation():
         WaveGrowth1D(one_d_grid(0.0, 100e3, 11), constant_winds_1d(10.0),
                      _settings(),
                      config=WaveGrowth1DConfig(boundary_type="bogus"))
+
+
+def test_auto_kernel_modes_resolve_per_backend():
+    """"auto" picks the XLA twins on CPU (this suite) and must leave
+    explicit choices untouched; resolution happens at construction so
+    step_core never sees "auto"."""
+    from picles_tpu.models.wave_growth_2d import _resolve_auto_modes
+
+    m = _box_model()  # default config -> auto
+    assert m.config.advance_mode == "xla"       # CPU backend here
+    assert m.config.scatter_mode == "dense"
+    cfg = WaveGrowth2DConfig(advance_mode="pallas",
+                             scatter_mode="dense_pallas")
+    r = _resolve_auto_modes(cfg)
+    assert r.advance_mode == "pallas" and r.scatter_mode == "dense_pallas"
