@@ -102,7 +102,8 @@ class WaveGrowth1D:
                                    dtmin=ode_settings.dtmin,
                                    force_dtmin=ode_settings.force_dtmin,
                                    maxiters=ode_settings.maxiters,
-                                   method=ode_settings.solver)
+                                   method=ode_settings.solver,
+                                   adaptive=ode_settings.adaptive)
         from ..ops.tsit5 import METHODS
         self._rk_order = METHODS[ode_settings.solver].order
 
@@ -250,10 +251,12 @@ class WaveGrowth1D:
         on = jnp.where(~boundary, gather | reseed, on)
 
         was_reset = relight | bad | gather | reseed
-        dt_auto = auto_dt(self.rhs, t, z, aux, order=self._rk_order,
-                          abstol=sett.abstol,
-                          reltol=sett.reltol)
-        dt = jnp.where(was_reset, jnp.clip(dt_auto, sett.dtmin, DT), dt)
+        if sett.adaptive:
+            dt_auto = auto_dt(self.rhs, t, z, aux, order=self._rk_order,
+                              abstol=sett.abstol,
+                              reltol=sett.reltol)
+            dt = jnp.where(was_reset, jnp.clip(dt_auto, sett.dtmin, DT), dt)
+        # fixed-substep mode: dt stays the configured constant sub-step
 
         def _c(x):
             return jnp.sum(x).astype(jnp.int32)

@@ -64,9 +64,13 @@ class WaveGrowth2DConfig:
     # "wind_sea" -> seed/reset from local winds; or a ParticleDefaults2D
     ode_init_type: Union[str, ParticleDefaults2D] = "wind_sea"
     boundary_type: str = "same"   # "wind_sea" | "mininmal" | "same"
-    # "auto" resolves per backend at model construction: the fused Pallas
-    # kernels on TPU, the XLA twins elsewhere (numerics agree to solver
-    # tolerance — cross-checked in tests and benchmark/tpu_numerics_check)
+    # "auto" resolves per backend AT MODEL CONSTRUCTION (it snapshots
+    # jax.default_backend() once): the fused Pallas kernels on TPU, the
+    # XLA twins elsewhere (numerics agree to solver tolerance —
+    # cross-checked in tests and benchmark/tpu_numerics_check).  A model
+    # intended for a device other than the default backend must pass the
+    # modes explicitly — a constructed model does not re-resolve when
+    # moved (`model.config.advance_mode` shows what "auto" resolved to).
     scatter_mode: str = "auto"    # "auto" | "dense" | "dense_pallas" | "xla"
     advance_mode: str = "auto"    # "auto" | "xla" | "pallas"
     # "auto": Hairer auto_dt on every reseed/gather (reference
@@ -174,7 +178,8 @@ class WaveGrowth2D:
                                    dtmin=ode_settings.dtmin,
                                    force_dtmin=ode_settings.force_dtmin,
                                    maxiters=ode_settings.maxiters,
-                                   method=ode_settings.solver)
+                                   method=ode_settings.solver,
+                                   adaptive=ode_settings.adaptive)
         from ..ops.tsit5 import METHODS
         self._rk_order = METHODS[ode_settings.solver].order
 
@@ -469,7 +474,12 @@ class WaveGrowth2D:
 
         # dt reset (auto_dt_reset!) for every lane whose u was replaced
         was_reset = was_reset_adv | gather | reseed
-        if cfg.dt_reset_mode == "carry":
+        if not sett.adaptive:
+            # fixed-substep mode: dt is the configured constant sub-step —
+            # no controller, no Hairer estimate (reference adaptive=false,
+            # core_2D.jl:185)
+            pass
+        elif cfg.dt_reset_mode == "carry":
             # warm restart: keep each lane's adapted dt (clipped into range);
             # the error controller re-shrinks it if the reseeded state needs
             # smaller steps.  Skips the auto_dt RHS evaluations entirely.

@@ -123,34 +123,41 @@ def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
         z_new = fma(method.b, ks)
         ks.append(rhs(t + dt_try, *z_new[:3]))  # FSAL
 
-        # scaled error norm over the 5 components
-        err_sq = jnp.zeros_like(t)
-        finite = jnp.ones_like(done)
-        for comp in range(5):
-            e = jnp.zeros_like(t)
-            for bt, k in zip(method.bt, ks):
-                if bt != 0.0:
-                    e = e + bt * k[comp]
-            e = dt_try * e
-            sc = (config.abstol + config.reltol
-                  * jnp.maximum(jnp.abs(z[comp]), jnp.abs(z_new[comp])))
-            err_sq = err_sq + (e / sc) ** 2
-            finite = finite & jnp.isfinite(z_new[comp])
-        enorm = jnp.sqrt(err_sq / 5.0)
-        finite = finite & jnp.isfinite(enorm)
+        if config.adaptive:
+            # scaled error norm over the 5 components
+            err_sq = jnp.zeros_like(t)
+            finite = jnp.ones_like(done)
+            for comp in range(5):
+                e = jnp.zeros_like(t)
+                for bt, k in zip(method.bt, ks):
+                    if bt != 0.0:
+                        e = e + bt * k[comp]
+                e = dt_try * e
+                sc = (config.abstol + config.reltol
+                      * jnp.maximum(jnp.abs(z[comp]), jnp.abs(z_new[comp])))
+                err_sq = err_sq + (e / sc) ** 2
+                finite = finite & jnp.isfinite(z_new[comp])
+            enorm = jnp.sqrt(err_sq / 5.0)
+            finite = finite & jnp.isfinite(enorm)
 
-        accept = (enorm <= 1.0) & finite
-        if config.force_dtmin:
-            accept = accept | at_dtmin
-        newly_failed = live & at_dtmin & ~accept
+            accept = (enorm <= 1.0) & finite
+            if config.force_dtmin:
+                accept = accept | at_dtmin
+            newly_failed = live & at_dtmin & ~accept
 
-        enorm_safe = jnp.maximum(enorm, 1e-10)
-        q = _SAFETY * enorm_safe ** (-1.0 / method.order)
-        q = jnp.where(finite, q, _QMIN)
-        factor = jnp.clip(q, _QMIN, _QMAX)
-        dt_next = jnp.where(accept, dt_try * factor,
-                            jnp.maximum(dt_try * jnp.clip(q, _QMIN, 1.0),
-                                        config.dtmin))
+            enorm_safe = jnp.maximum(enorm, 1e-10)
+            q = _SAFETY * enorm_safe ** (-1.0 / method.order)
+            q = jnp.where(finite, q, _QMIN)
+            factor = jnp.clip(q, _QMIN, _QMAX)
+            dt_next = jnp.where(accept, dt_try * factor,
+                                jnp.maximum(dt_try * jnp.clip(q, _QMIN, 1.0),
+                                            config.dtmin))
+        else:
+            # fixed-substep mode (ODESettings.adaptive=False): accept every
+            # step, dt carried unchanged (see tsit5.integrate_to)
+            accept = jnp.ones_like(done, dtype=bool)
+            newly_failed = jnp.zeros_like(done, dtype=bool)
+            dt_next = dt
 
         upd = live & accept
         t_new = jnp.where(upd, t + dt_try, t)

@@ -42,7 +42,20 @@ def auto_block_x(ny: int, n_buffers: int, *, dtype_bytes: int = 4,
     """
     ny_lanes = ((ny + 127) // 128) * 128
     per_row = ny_lanes * n_buffers * dtype_bytes
-    return max(8, vmem_budget // per_row)
+    bx = max(8, vmem_budget // per_row)
+    # The sublane minimum is 8 rows; if even that overruns the 16 MB
+    # scoped-VMEM hard limit (very wide ny), fail with an actionable
+    # message instead of an opaque Mosaic AOT OOM.
+    hard_limit = 16 * 1024 * 1024
+    if bx * per_row > hard_limit:
+        raise ValueError(
+            f"grid too wide for row-tiled Pallas kernels: ny={ny} needs "
+            f"{bx * per_row / 2**20:.1f} MB of scoped VMEM at the minimum "
+            f"8-row block ({n_buffers} buffers x {ny_lanes} lanes), above "
+            f"the {hard_limit / 2**20:.0f} MB limit. Use the XLA backends "
+            f"(advance_mode='xla', scatter_mode='dense') or shard the y "
+            f"axis over the device mesh (picles_tpu.parallel).")
+    return bx
 
 
 def pad_rows(arr: jnp.ndarray, nx_pad: int, fill=None) -> jnp.ndarray:

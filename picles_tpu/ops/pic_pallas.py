@@ -93,6 +93,20 @@ def _accum_kernel(xl: int, xh: int, yl: int, yh: int,
     out2_ref[:] = acc2
 
 
+def _check_halo_fits(xl: int, xh: int, yl: int, yh: int, PADR: int) -> None:
+    """The column pad is fixed at 64 lanes (PADC, a (8,128)-tile half-width)
+    and the row pad at PADR; a declared halo beyond either would make the
+    slab writes index with a *negative* Python offset — silently wrapping
+    and corrupting the deposit instead of failing. Oversized halos are a
+    config error (CIC displaces <= a few cells per DT), so raise loudly."""
+    if max(yl, yh) > 64 or max(xl, xh) > PADR:
+        raise ValueError(
+            f"CIC halo (({xl},{xh}),({yl},{yh})) exceeds the Pallas gather "
+            f"kernel's pad capacity (x<= {PADR}, y<=64). Such displacements "
+            f"(>64 cells/DT) are far beyond the model's CFL regime; reduce "
+            f"`halo` or use scatter_mode='dense'/'xla'.")
+
+
 def scatter_padded_channels_pallas(
         xrel: jnp.ndarray, yrel: jnp.ndarray, charge, active: jnp.ndarray,
         halo, *, block_x: int = 64, block_y: int = 0,
@@ -112,6 +126,7 @@ def scatter_padded_channels_pallas(
     (xl, xh), (yl, yh) = normalize_halo(halo)
     H_row = max(xl, xh)
     PADR = max(4, ((H_row + 3) // 4) * 4)  # >= max x-offset, 2*PADR % 8 == 0
+    _check_halo_fits(xl, xh, yl, yh, PADR)
 
     clamped = jnp.sum(((xrel < -float(xl)) | (xrel > float(xh) - 1e-5)
                        | (yrel < -float(yl)) | (yrel > float(yh) - 1e-5))
@@ -247,6 +262,7 @@ def scatter_core_channels_pallas(
     H_row = max(kxl, kxh)
     PADR = max(4, ((H_row + 3) // 4) * 4)
     PADC = 64
+    _check_halo_fits(kxl, kxh, kyl, kyh, PADR)
 
     # --- tile geometry: core output [nx, ny]; the extended input sits at
     # offset (PADR, PADC) inside the padded plane

@@ -99,6 +99,12 @@ class SolverConfig:
     force_dtmin: bool = True
     maxiters: int = 10_000
     method: str = "tsit5"   # "tsit5" | "bosh3"
+    # adaptive=False: fixed sub-steps of the carried dt (clipped to land on
+    # t_end), no error control — the reference's `adaptive` integrator knob
+    # passed to every solver (core_2D.jl:185, particle_waves_v5.jl:55-58).
+    # Deterministic substep sequences make it the tool for ulp-tight
+    # cross-backend / sharded-vs-single comparisons.
+    adaptive: bool = True
 
 
 class SolveResult(NamedTuple):
@@ -219,22 +225,31 @@ def integrate_to(rhs: Callable, z0: jnp.ndarray, t0: jnp.ndarray,
         at_dtmin = dt_try <= config.dtmin * (1.0 + 1e-8)
 
         z_new, err, k7 = rk_step(method, rhs, c.t, c.z, dt_try, aux, k1=c.k1)
-        enorm = _error_norm(err, c.z, z_new, config.abstol, config.reltol)
-        finite = jnp.all(jnp.isfinite(z_new), axis=-1) & jnp.isfinite(enorm)
+        if config.adaptive:
+            enorm = _error_norm(err, c.z, z_new, config.abstol, config.reltol)
+            finite = (jnp.all(jnp.isfinite(z_new), axis=-1)
+                      & jnp.isfinite(enorm))
 
-        accept = (enorm <= 1.0) & finite
-        if config.force_dtmin:
-            accept = accept | at_dtmin
-        newly_failed = live & at_dtmin & ~accept
+            accept = (enorm <= 1.0) & finite
+            if config.force_dtmin:
+                accept = accept | at_dtmin
+            newly_failed = live & at_dtmin & ~accept
 
-        # step-size controller (I-controller with safety and limits)
-        enorm_safe = jnp.maximum(enorm, 1e-10)
-        q = _SAFETY * enorm_safe ** (-1.0 / method.order)
-        q = jnp.where(finite, q, _QMIN)
-        factor = jnp.clip(q, _QMIN, _QMAX)
-        dt_next = jnp.where(accept, dt_try * factor,
-                            jnp.maximum(dt_try * jnp.clip(q, _QMIN, 1.0),
-                                        config.dtmin))
+            # step-size controller (I-controller with safety and limits)
+            enorm_safe = jnp.maximum(enorm, 1e-10)
+            q = _SAFETY * enorm_safe ** (-1.0 / method.order)
+            q = jnp.where(finite, q, _QMIN)
+            factor = jnp.clip(q, _QMIN, _QMAX)
+            dt_next = jnp.where(accept, dt_try * factor,
+                                jnp.maximum(dt_try * jnp.clip(q, _QMIN, 1.0),
+                                            config.dtmin))
+        else:
+            # fixed-substep: every step accepted, dt carried unchanged
+            # (non-finite states fall through to the model's NaN guards,
+            # as in a fixed-step reference integrator)
+            accept = jnp.ones_like(c.done)
+            newly_failed = jnp.zeros_like(c.done)
+            dt_next = c.dt
 
         do_update = live & accept
         t_new = jnp.where(do_update, c.t + dt_try, c.t)

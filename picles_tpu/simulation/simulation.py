@@ -131,7 +131,11 @@ class Simulation:
             return
 
         if use_store:
-            chunk = chunk_size or remaining
+            # a finite wall_time_limit needs the limit check to run between
+            # chunks, so never default to one all-remaining dispatch then
+            # (reference checks wall time once per step, run.jl:117-121)
+            chunk = chunk_size or (64 if self.wall_time_limit != float("inf")
+                                   else remaining)
             done = 0
             while done < remaining:
                 n = min(chunk, remaining - done)

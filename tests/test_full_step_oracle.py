@@ -76,20 +76,69 @@ def np_minimal_state(dt):
 # float64 mask construction (reference mask_utils.jl:38-55)
 # ---------------------------------------------------------------------------
 
-def np_make_mask(ocean, periodic):
+def np_make_mask(ocean, bx, by):
     """{0 land, 1 ocean, 2 land-boundary, 3 grid-boundary}.
 
     Note the reference's "land boundary" is the LAND cells adjacent to
     ocean (interior_boundary marks ``circshift(mask) && !mask``), and
-    non-periodic edges are forced to 3 unconditionally."""
+    non-periodic edges are forced to 3 unconditionally.  ``bx``/``by`` in
+    {"periodic", "nonperiodic", "tripolar"}; a tripolar y axis forces no
+    edges (x-periodic, north seam folds onto the domain itself)."""
     bmask = np.zeros_like(ocean)
     for d in ((1, 0), (-1, 0), (0, 1), (0, -1)):
         bmask |= np.roll(ocean, d, axis=(0, 1)) & ~ocean
     mask = ocean.astype(int) + 2 * bmask.astype(int)
-    if not periodic:
+    if bx == "nonperiodic":
         mask[0, :] = mask[-1, :] = 3
+    if by == "nonperiodic":
         mask[:, 0] = mask[:, -1] = 3
     return mask
+
+
+# ---------------------------------------------------------------------------
+# float64 per-node geometry: spherical metric / projection / great-circle
+# (independent transcriptions of the reference formulas; NOT imported from
+# picles_tpu.grids)
+# ---------------------------------------------------------------------------
+
+def np_spherical_metric(X, Y):
+    """Metric spacings in meters from lon/lat degree coordinates
+    (reference SphericalGrid.jl:25-75, R = 6371 km): centered differences
+    of the degree coordinates scaled by pi/180 * R [* cos(lat) for lon]."""
+    R = 6371.0e3
+    dxd = np.zeros_like(X)
+    dxd[1:-1, :] = (X[2:, :] - X[:-2, :]) / 2
+    dxd[0, :] = X[1, :] - X[0, :]
+    dxd[-1, :] = X[-1, :] - X[-2, :]
+    dyd = np.zeros_like(Y)
+    dyd[:, 1:-1] = (Y[:, 2:] - Y[:, :-2]) / 2
+    dyd[:, 0] = Y[:, 1] - Y[:, 0]
+    dyd[:, -1] = Y[:, -1] - Y[:, -2]
+    dxm = dxd * math.pi / 180.0 * R * np.cos(np.radians(Y))
+    dym = dyd * math.pi / 180.0 * R
+    return dxm, dym
+
+
+def np_great_circle_coef(lat_deg):
+    """sign(phi) * min(sign(phi) * tand(phi), 60) / R with R = 6.3710e6
+    (reference spherical_grid_corrections.jl:3-21).  Applied in the RHS as
+    S_sphere = pc * cg_x rotating (cg_x, cg_y)."""
+    R = 6.3710e6
+    s = np.sign(lat_deg)
+    return s * np.minimum(s * np.tan(np.radians(lat_deg)), 60.0) / R
+
+
+def np_rotation_projection(angle_deg, dxm, dym):
+    """Per-node rotation projection of the tripolar grid
+    (reference TripolarGridMOM6.jl:436-462):
+    M = [[cos a / dx, sin a / dy], [-sin a / dx, cos a / dy]]."""
+    ca, sa = np.cos(np.radians(angle_deg)), np.sin(np.radians(angle_deg))
+    M = np.zeros(angle_deg.shape + (2, 2))
+    M[..., 0, 0] = ca / dxm
+    M[..., 0, 1] = sa / dym
+    M[..., 1, 0] = -sa / dxm
+    M[..., 1, 1] = ca / dym
+    return M
 
 
 # ---------------------------------------------------------------------------
@@ -97,23 +146,47 @@ def np_make_mask(ocean, periodic):
 # ---------------------------------------------------------------------------
 
 class Oracle:
-    def __init__(self, nx, ny, Lx, Ly, periodic, u_func, v_func, DT):
+    """Float64 full-step oracle over arbitrary grid geometry.
+
+    The Cartesian constructor (positional args) reproduces the original
+    box configuration; ``X/Y/M/pc/bx/by`` kwargs generalize to spherical
+    (per-node diag projection + great-circle coefficient) and tripolar
+    (per-node rotation projection + north-seam scatter fold) geometry.
+    ``M`` may be a global 2x2 or a per-node [nx, ny, 2, 2]; ``pc`` a
+    scalar or per-node [nx, ny].
+    """
+
+    def __init__(self, nx, ny, Lx, Ly, periodic, u_func, v_func, DT, *,
+                 X=None, Y=None, M=None, pc=0.0, bx=None, by=None):
         self.nx, self.ny = nx, ny
-        self.dx = Lx / (nx - 1)
-        self.dy = Ly / (ny - 1)
-        self.periodic = periodic
+        if bx is None:
+            bx = "periodic" if periodic else "nonperiodic"
+        if by is None:
+            by = "periodic" if periodic else "nonperiodic"
+        self.bx, self.by = bx, by
+        # reference core_2D.jl:360-366 / WaveGrowthModels2D.jl:255-270:
+        # "periodic" for the active/boundary classification means the
+        # domain has no forced grid-boundary ring (tripolar counts)
+        self.periodic = (bx != "nonperiodic") and (by != "nonperiodic")
         self.u_func, self.v_func = u_func, v_func
         self.DT = DT
         self.pars, self.cid, _ = ODEParameters.create()
-        xs = np.linspace(0.0, Lx, nx)
-        ys = np.linspace(0.0, Ly, ny)
-        self.X, self.Y = np.meshgrid(xs, ys, indexing="ij")
-        # projection: m/s -> cell/s (CartesianGrid.jl:115-136, angle 0)
-        self.M = np.array([[1.0 / self.dx, 0.0], [0.0, 1.0 / self.dy]])
+        if X is None:
+            xs = np.linspace(0.0, Lx, nx)
+            ys = np.linspace(0.0, Ly, ny)
+            X, Y = np.meshgrid(xs, ys, indexing="ij")
+        self.X, self.Y = X, Y
+        if M is None:
+            # projection: m/s -> cell/s (CartesianGrid.jl:115-136, angle 0)
+            M = np.array([[1.0 / (Lx / (nx - 1)), 0.0],
+                          [0.0, 1.0 / (Ly / (ny - 1))]])
+        self.Mf = (np.broadcast_to(M, (nx, ny, 2, 2)) if M.ndim == 2 else M)
+        self.pcf = np.broadcast_to(np.asarray(pc, float), (nx, ny))
         self.min_e, self.min_m2 = np_minimal_state(DT)
+        self.n_folds = 0   # north-seam fold events (tripolar observability)
 
     def masks(self, ocean):
-        mask = np_make_mask(ocean, self.periodic)
+        mask = np_make_mask(ocean, self.bx, self.by)
         if self.periodic:
             active = (mask == 1) | (mask == 3)
         else:
@@ -158,8 +231,9 @@ class Oracle:
                 u = self.u_func(xg, yg, t0)
                 v = self.v_func(xg, yg, t0)
                 if on[i, j]:
+                    Mij, pcij = self.Mf[i, j], self.pcf[i, j]
                     sol = solve_ivp(
-                        lambda t, zz: _np_rhs_2d(t, zz, u, v, self.M, 0.0,
+                        lambda t, zz: _np_rhs_2d(t, zz, u, v, Mij, pcij,
                                                  self.pars,
                                                  gamma=self.cid.gamma),
                         (t0, t0 + DT), z[i, j], rtol=1e-8, atol=1e-11,
@@ -190,11 +264,28 @@ class Oracle:
                 for cxo, wxo in ((0, 1 - wx), (1, wx)):
                     for cyo, wyo in ((0, 1 - wy), (1, wy)):
                         gi, gj = i + int(fx) + cxo, j + int(fy) + cyo
-                        if self.periodic:
+                        if self.by == "tripolar":
+                            # north-seam fold (TripolarNorthBoundary,
+                            # ParticleInCell.jl:409-428, 0-based form):
+                            # gy > ny-1 -> gy' = 2 ny - 1 - gy with
+                            # gx' = (nx - 2 - gx) mod nx, charge unchanged;
+                            # south exceed dropped (:353); x periodic.
+                            if gj < 0:
+                                continue
+                            if gj > ny - 1:
+                                gi = nx - 2 - gi
+                                gj = 2 * ny - 1 - gj
+                                self.n_folds += 1
                             gi %= nx
-                            gj %= ny
-                        elif not (0 <= gi < nx and 0 <= gj < ny):
-                            continue
+                        else:
+                            if self.bx == "periodic":
+                                gi %= nx
+                            elif not (0 <= gi < nx):
+                                continue
+                            if self.by == "periodic":
+                                gj %= ny
+                            elif not (0 <= gj < ny):
+                                continue
                         S[gi, gj] += wxo * wyo * charge
 
         # --- remesh (mapping_2D.jl:306-353), winds at pre-tick clock ---
@@ -336,3 +427,174 @@ def test_full_step_matches_f64_oracle(case):
                                    err_msg=f"{case} step {k + 1}")
     # on/off pattern must match exactly
     np.testing.assert_array_equal(np.asarray(ms.particles.on), on)
+
+
+# ---------------------------------------------------------------------------
+# spherical + tripolar full-step oracle locks (VERDICT r3 item 1): the
+# per-node rotation projection, the great-circle steering term, and the
+# north-seam scatter fold — the subtlest math in the repo — anchored against
+# the independent float64 transcriptions above.
+# ---------------------------------------------------------------------------
+
+def test_full_step_matches_f64_oracle_spherical():
+    """Spherical aqua blob (T03_PIC_sphere_aqua analog, shrunk): lon/lat
+    grid at high latitude so the great-circle coefficient tan(lat)/R is
+    O(3e-7) and rotates cg measurably within 3 steps.  The oracle builds
+    its metric (SphericalGrid.jl:25-75), diag projection, and pc
+    (spherical_grid_corrections.jl:3-21) from scratch in float64."""
+    import jax
+    import jax.numpy as jnp
+
+    from picles_tpu.core import fetch_relations as FR
+    from picles_tpu.core.constants import ODESettings
+    from picles_tpu.forcing.winds import Winds2D
+    from picles_tpu.grids.spherical import spherical_grid_2d
+    from picles_tpu.models.wave_growth_2d import (WaveGrowth2D,
+                                                  WaveGrowth2DConfig)
+
+    nx = ny = 6
+    lon0, lon1, lat0, lat1 = 0.0, 10.0, 55.0, 75.0
+    DT = 600.0
+    U, V = 10.0, 5.0
+
+    def u_o(x, y, t):
+        return U
+
+    def v_o(x, y, t):
+        return V
+
+    winds = Winds2D(
+        u=lambda x, y, t: jnp.full_like(jnp.asarray(x, jnp.float32), U),
+        v=lambda x, y, t: jnp.full_like(jnp.asarray(x, jnp.float32), V))
+
+    # ---- oracle geometry (independent f64 transcription) ----
+    X, Y = np.meshgrid(np.linspace(lon0, lon1, nx),
+                       np.linspace(lat0, lat1, ny), indexing="ij")
+    dxm, dym = np_spherical_metric(X, Y)
+    M = np.zeros((nx, ny, 2, 2))
+    M[..., 0, 0] = 1.0 / dxm
+    M[..., 1, 1] = 1.0 / dym
+    pc = np_great_circle_coef(Y)
+
+    orc = Oracle(nx, ny, 0.0, 0.0, False, u_o, v_o, DT,
+                 X=X, Y=Y, M=M, pc=pc, bx="nonperiodic", by="nonperiodic")
+    ocean = np.ones((nx, ny), bool)
+    z, on, S0, mask, active = orc.seed(ocean)
+    t = 0.0
+    states = []
+    for _ in range(3):
+        z, on, S = orc.step(z, on, t, mask, active)
+        t += DT
+        states.append(S.copy())
+
+    # ---- framework ----
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True,
+                       abstol=1e-7, reltol=1e-6)
+    grid = spherical_grid_2d(lon0, lon1, nx, lat0, lat1, ny,
+                             periodic_boundary=(False, False))
+    model = WaveGrowth2D(grid, winds, sett,
+                         config=WaveGrowth2DConfig(periodic_boundary=False))
+    np.testing.assert_array_equal(np.asarray(model.grid.mask), mask)
+    # the framework's grid geometry must match the oracle's transcription
+    np.testing.assert_allclose(np.asarray(model.grid.pc), pc, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(model.grid.proj), M, rtol=1e-5)
+    ms = model.init_state()
+    step = jax.jit(model.step)
+    for k in range(3):
+        ms = step(ms)
+        np.testing.assert_allclose(np.asarray(ms.state), states[k],
+                                   rtol=1e-4, atol=1e-9,
+                                   err_msg=f"spherical step {k + 1}")
+    np.testing.assert_array_equal(np.asarray(ms.particles.on), on)
+
+
+def test_full_step_matches_f64_oracle_tripolar_seam():
+    """Synthetic tripolar grid, metrics scaled down (1/400 planet) so a
+    northward windsea crosses the seam within one DT: top-row deposits fold
+    to gy' = 2 ny - 1 - gy with gx' = (nx - 2 - gx) mod nx.  The oracle
+    transcribes the rotation projection (TripolarGridMOM6.jl:436-462), the
+    great-circle coefficient, and the seam fold (ParticleInCell.jl:409-428)
+    independently; the framework runs its real construction + dense-fold
+    scatter.  (The C-grid stride extraction/aggregation pipeline is shared
+    input geometry — it is locked separately in test_tripolar.py.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from picles_tpu.core import fetch_relations as FR
+    from picles_tpu.core.constants import ODESettings
+    from picles_tpu.forcing.winds import Winds2D
+    from picles_tpu.grids.tripolar import (calculate_distances,
+                                           extract_grid_points,
+                                           mom6_grid_from_supergrid,
+                                           synthetic_tripolar_supergrid)
+    from picles_tpu.models.wave_growth_2d import (WaveGrowth2D,
+                                                  WaveGrowth2DConfig)
+
+    DT = 600.0
+    U, V = 2.0, 10.0   # northward-dominated: pushes particles over the seam
+    Xs, Ys, dxs, dys, areas, angs = synthetic_tripolar_supergrid(
+        nx_super=24, ny_super=16)
+    scale = 1.0 / 400.0
+    dxs, dys, areas = dxs * scale, dys * scale, areas * scale ** 2
+    nx, ny = 12, 8
+    tmask = np.ones((nx, ny), bool)
+
+    def u_o(x, y, t):
+        return U
+
+    def v_o(x, y, t):
+        return V
+
+    winds = Winds2D(
+        u=lambda x, y, t: jnp.full_like(jnp.asarray(x, jnp.float32), U),
+        v=lambda x, y, t: jnp.full_like(jnp.asarray(x, jnp.float32), V))
+
+    # ---- oracle geometry: shared C-grid aggregation, independent M/pc ----
+    G = extract_grid_points(Xs, Ys, angs, 2, mask=tmask)
+    GA = calculate_distances(areas, dxs, dys, 2, 1)
+    t_lat, angd = np.asarray(G["t_lat"]), np.asarray(G["angle"])
+    dxm, dym = GA["dxCu"], GA["dyCv"]
+    M = np_rotation_projection(angd, dxm, dym)
+    pc = np_great_circle_coef(t_lat)
+
+    orc = Oracle(nx, ny, 0.0, 0.0, True, u_o, v_o, DT,
+                 X=np.asarray(G["t_lon"]), Y=t_lat, M=M, pc=pc,
+                 bx="periodic", by="tripolar")
+    z, on, S0, mask, active = orc.seed(tmask)
+    t = 0.0
+    states = []
+    for _ in range(3):
+        z, on, S = orc.step(z, on, t, mask, active)
+        t += DT
+        states.append(S.copy())
+
+    # ---- framework ----
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True,
+                       abstol=1e-7, reltol=1e-6)
+    grid = mom6_grid_from_supergrid(Xs, Ys, dxs, dys, areas, angs, 2,
+                                    mask=tmask)
+    model = WaveGrowth2D(grid, winds, sett,
+                         config=WaveGrowth2DConfig(periodic_boundary=True))
+    np.testing.assert_array_equal(np.asarray(model.grid.mask), mask)
+    np.testing.assert_allclose(np.asarray(model.grid.pc), pc, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(model.grid.proj), M, rtol=1e-5,
+                               atol=1e-12)
+    ms = model.init_state()
+    step = jax.jit(model.step)
+    crossed = False
+    for k in range(3):
+        ms = step(ms)
+        np.testing.assert_allclose(np.asarray(ms.state), states[k],
+                                   rtol=1e-4, atol=1e-9,
+                                   err_msg=f"tripolar step {k + 1}")
+    np.testing.assert_array_equal(np.asarray(ms.particles.on), on)
+    # the fold must actually have been exercised: every top-row particle
+    # with northward cg deposits (weight py) across the seam each step
+    assert orc.n_folds > 0, \
+        "no seam-crossing deposits — test configuration regressed"

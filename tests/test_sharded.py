@@ -286,3 +286,97 @@ def test_sharded_pallas_advance_matches_single_device():
     np.testing.assert_allclose(np.asarray(msh.state), np.asarray(ref.state),
                                rtol=2e-3, atol=1e-10)
     assert int(msh.metrics.n_failed) == 0
+
+
+def _settings_fixed(DT=600.0, sub=150.0):
+    """Fixed-substep settings (ODESettings.adaptive=False): deterministic
+    substep sequences independent of batching/block shape, so sharded vs
+    single-device agreement is ulp-level instead of solver-tolerance."""
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    return ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=sub,
+                       dtmin=1e-4, force_dtmin=True, adaptive=False)
+
+
+def test_sharded_zero_lo_halo_tripolar_fixed_substep():
+    """Tight twin of test_sharded_zero_lo_halo_tripolar: with adaptive=False
+    the advance+remesh composition under sharding must match the
+    single-device run to f32 ulp level — no controller noise to hide
+    behind.  Locks the full step (not just the scatter collective) across
+    the tripolar seam with asymmetric halos."""
+    import dataclasses
+
+    grid = cartesian_box(100e3, 32, 100e3, 24, periodic_boundary=(True, True))
+    stats = dataclasses.replace(grid.stats, bx=Boundary.PERIODIC,
+                                by=Boundary.TRIPOLAR_NORTH)
+    grid = dataclasses.replace(grid, stats=stats)
+    cfg = WaveGrowth2DConfig(periodic_boundary=True, halo=((0, 3), (0, 3)))
+    model = WaveGrowth2D(grid, constant_winds(10.0, 5.0), _settings_fixed(),
+                         config=cfg)
+    mesh = make_mesh(shape=(4, 2))
+    sharded = ShardedWaveGrowth2D(model, mesh)
+
+    ms0 = model.init_state()
+    ref = ms0
+    step_ref = jax.jit(model.step)
+    msh = sharded.shard_state(ms0)
+    for _ in range(3):
+        ref = step_ref(ref)
+        msh = sharded.step(msh)
+    np.testing.assert_allclose(np.asarray(msh.state), np.asarray(ref.state),
+                               rtol=2e-6, atol=1e-9)
+    for k in ("n_active", "n_gather", "n_reseed", "n_off", "n_failed"):
+        assert int(getattr(msh.metrics, k)) == int(getattr(ref.metrics, k)), k
+
+
+def test_sharded_gridded_winds_fixed_substep_f64():
+    """Tight twin of test_sharded_gridded_winds_matches_single_device:
+    gridded (map_coordinates) winds inside the shard_map'd step with
+    fixed substeps in float64 — sharded == single-device to ~1e-12 abs.
+
+    Why f64: even with deterministic substep sequences, CPU XLA's
+    vectorized transcendentals differ at the last ulp between block
+    shapes (vector-body vs epilogue lanes), and the young-windsea growth
+    dynamics amplify f32 ulps to ~1e-5/step.  In f64 the same ulps stay
+    below 1e-12 — any collective/indexing bug would stand out by ~9
+    orders of magnitude."""
+    from picles_tpu.forcing.winds import GriddedWinds2D
+
+    DT = 600.0
+    nxw = nyw = 10
+    xi = np.arange(nxw)[None, :, None]
+    yi = np.arange(nyw)[None, None, :]
+    ti = np.arange(12)[:, None, None]
+    u = 8.0 + 2.0 * np.sin(2 * np.pi * (xi / nxw + 0.1 * ti))
+    v = 4.0 + 1.5 * np.cos(2 * np.pi * (yi / nyw - 0.07 * ti))
+    with jax.enable_x64(True):
+        gw = GriddedWinds2D(
+            u_data=jnp.asarray(np.broadcast_to(u, (12, nxw, nyw)),
+                               jnp.float64),
+            v_data=jnp.asarray(np.broadcast_to(v, (12, nxw, nyw)),
+                               jnp.float64),
+            x0=0.0, dx=100e3 / (nxw - 1), y0=0.0, dy=100e3 / (nyw - 1),
+            t0=0.0, dt=2 * DT)
+        grid = cartesian_box(100e3, 32, 100e3, 24,
+                             periodic_boundary=(True, True),
+                             dtype=jnp.float64)
+        model = WaveGrowth2D(grid, gw.as_winds(), _settings_fixed(DT),
+                             config=WaveGrowth2DConfig(
+                                 periodic_boundary=True, dtype=jnp.float64))
+        mesh = make_mesh(shape=(4, 2))
+        sharded = ShardedWaveGrowth2D(model, mesh)
+
+        ref = model.init_state()
+        step_ref = jax.jit(model.step)
+        msh = sharded.shard_state(model.init_state())
+        for _ in range(3):
+            ref = step_ref(ref)
+            msh = sharded.step(msh)
+        np.testing.assert_allclose(np.asarray(msh.state),
+                                   np.asarray(ref.state),
+                                   rtol=1e-6, atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(msh.particles.t),
+                                      np.asarray(ref.particles.t))
+        for k in ("n_active", "n_gather", "n_reseed", "n_off", "n_failed"):
+            assert int(getattr(msh.metrics, k)) == int(
+                getattr(ref.metrics, k)), k

@@ -149,3 +149,21 @@ def test_storeless_run_dynamic_chunks_single_compile():
     np.testing.assert_allclose(np.asarray(b.state), np.asarray(full.state),
                                rtol=1e-6)
     assert m.step_n_quiet._cache_size() == size0 + 1
+
+
+def test_wall_time_limit_halts_stored_run_early():
+    """A finite wall_time_limit must be enforced on the STORE path too: the
+    default chunking may not be one all-remaining dispatch (reference checks
+    wall time every step, run.jl:117-121).  With an already-expired limit,
+    only the first chunk runs and the store holds partial output."""
+    sim = _sim(stop_time=24 * 3600.0)       # 145 steps if run to completion
+    sim.wall_time_limit = 1e-9              # expires during the first chunk
+    sim.run(cash_store=True)
+    n_stored = len(sim.store.store)
+    assert sim.n_steps() == 145
+    # initial write + one default chunk (64) at most — NOT the full 146
+    assert 2 <= n_stored <= 65
+    # the partial output is real state
+    arr = sim.store.as_array()
+    assert np.all(np.isfinite(arr))
+    assert int(sim.state.iteration) == n_stored - 1

@@ -165,3 +165,47 @@ def test_bosh3_fewer_rhs_evals_per_substep():
                                atol=2e-2)
     assert int(res3.naccept[0]) >= int(res5.naccept[0])
     assert evals3 > evals5, (evals3, evals5)
+
+
+def test_fixed_substep_mode():
+    """adaptive=False (reference ODESettings.adaptive, core_2D.jl:185):
+    fixed sub-steps of the carried dt, every step accepted, dt unchanged."""
+    z0 = jnp.array([[1.0], [2.0]])
+    res = integrate_to(_decay_rhs, z0, jnp.zeros(2), jnp.full(2, 3.0),
+                       jnp.full(2, 0.5), None, jnp.array([True, True]),
+                       SolverConfig(adaptive=False))
+    # exactly ceil(3.0 / 0.5) = 6 accepted steps, none rejected
+    np.testing.assert_array_equal(np.asarray(res.naccept), [6, 6])
+    np.testing.assert_array_equal(np.asarray(res.nreject), [0, 0])
+    # dt carried unchanged (no controller)
+    np.testing.assert_allclose(np.asarray(res.dt), 0.5)
+    assert not np.any(np.asarray(res.failed))
+    # 5th-order fixed-step accuracy at dt=0.5 on exp decay: ~1e-6 global
+    want = np.array([[1.0], [2.0]]) * np.exp(-1.5)
+    np.testing.assert_allclose(np.asarray(res.z), want, rtol=1e-6)
+
+
+def test_fixed_substep_partial_last_step():
+    """t_end not a multiple of dt: the last sub-step is clipped to land
+    exactly on t_end (reference step!(integ, DT, true) semantics)."""
+    res = integrate_to(_decay_rhs, jnp.ones((1, 1)), jnp.zeros(1),
+                       jnp.full(1, 1.3), jnp.full(1, 0.5), None,
+                       jnp.array([True]), SolverConfig(adaptive=False))
+    assert int(res.naccept[0]) == 3          # 0.5 + 0.5 + 0.3
+    np.testing.assert_allclose(float(res.t[0]), 1.3, rtol=1e-7)
+    np.testing.assert_allclose(float(res.z[0, 0]), np.exp(-0.65), rtol=1e-6)
+
+
+def test_fixed_substep_deterministic_across_batch_shapes():
+    """The fixed-substep path takes the same substep sequence regardless of
+    batching — the property the tight sharded comparisons build on."""
+    z0 = jnp.linspace(1.0, 2.0, 12).reshape(12, 1)
+    full = integrate_to(_decay_rhs, z0, jnp.zeros(12), jnp.full(12, 2.0),
+                        jnp.full(12, 0.25), None, jnp.ones(12, bool),
+                        SolverConfig(adaptive=False))
+    parts = [integrate_to(_decay_rhs, z0[i:i + 4], jnp.zeros(4),
+                          jnp.full(4, 2.0), jnp.full(4, 0.25), None,
+                          jnp.ones(4, bool), SolverConfig(adaptive=False))
+             for i in (0, 4, 8)]
+    np.testing.assert_array_equal(
+        np.asarray(full.z), np.concatenate([np.asarray(p.z) for p in parts]))
