@@ -116,23 +116,37 @@ def main():
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     nx = ny = int(args[0]) if args else 1536
-    solver = "bosh3"
+    solver = None
     for a in sys.argv[1:]:     # --solver=tsit5: reference-identical parity
         if a.startswith("--solver="):
             solver = a.split("=", 1)[1]
+    explicit = solver is not None
+    solver = solver or "bosh3"
     pushes_per_s, s_per_step = bench_config(nx, ny, solver=solver)
     msg = (f"[bench] {nx}x{ny} ({solver}): {pushes_per_s:.3e} pushes/s "
            f"({s_per_step*1e3:.2f} ms/step)")
-    if "--small" in sys.argv:  # also time the reference's 51x51 config
-        small_pps, small_spstep = bench_config(51, 51, solver=solver)
-        msg += f"; 51x51: {small_pps:.3e} pushes/s ({small_spstep*1e3:.2f} ms/step)"
-    print(msg, file=sys.stderr)
-    print(json.dumps({
+    out = {
         "metric": "particle_pushes_per_s",
         "value": round(pushes_per_s, 1),
         "unit": "pushes/s",
         "vs_baseline": round(pushes_per_s / BASELINE_PUSHES_PER_S, 2),
-    }))
+    }
+    if not explicit:
+        # solver-identical parity number alongside the fast variant: the
+        # reference integrates with the AutoTsit5 family
+        # (particle_waves_v5.jl:47); bosh3 is this framework's fast twin
+        # at the same tolerances.  Skipped when --solver pins one config.
+        t_pps, t_spstep = bench_config(nx, ny, solver="tsit5")
+        msg += (f"; tsit5 parity: {t_pps:.3e} pushes/s "
+                f"({t_spstep*1e3:.2f} ms/step)")
+        out["parity_tsit5_pushes_per_s"] = round(t_pps, 1)
+        out["parity_tsit5_vs_baseline"] = round(t_pps / BASELINE_PUSHES_PER_S,
+                                                2)
+    if "--small" in sys.argv:  # also time the reference's 51x51 config
+        small_pps, small_spstep = bench_config(51, 51, solver=solver)
+        msg += f"; 51x51: {small_pps:.3e} pushes/s ({small_spstep*1e3:.2f} ms/step)"
+    print(msg, file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -17,13 +17,19 @@ import numpy as np
 
 import picles_tpu as pt
 
+# PICLES_SMOKE=1 shrinks the run for the in-process example smoke tests
+# (tests/test_examples.py) — same code path, smaller grid/horizon.
+SMOKE = _os.environ.get("PICLES_SMOKE") == "1"
+
 # Parameters (reference README values)
 U10, V10 = 10.0, 10.0
 DT = 10 * 60.0          # 10 minutes
 r_g0 = 0.85
+N = 15 if SMOKE else 51
+STOP = 3 * DT if SMOKE else 2 * 3600.0
 
 winds = pt.constant_winds(U10, V10)
-grid = pt.cartesian_box(100e3, 51, 100e3, 51)
+grid = pt.cartesian_box(100e3, N, 100e3, N)
 
 ode_pars, const_id, _ = pt.ODEParameters.create(r_g=r_g0)
 windsea_min = pt.FetchRelations.MinimalWindsea(U10, V10, DT)
@@ -39,7 +45,7 @@ model = pt.WaveGrowth2D(
     minimal_particle=np.asarray(pt.FetchRelations.MinimalParticle(U10, V10, DT)),
     config=pt.WaveGrowth2DConfig(periodic_boundary=False))
 
-sim = pt.Simulation.create(model, stop_time=2 * 3600.0, verbose=True)
+sim = pt.Simulation.create(model, stop_time=STOP, verbose=True)
 sim.run(cash_store=True)
 
 states = sim.store.as_array()

@@ -22,8 +22,11 @@ import picles_tpu as pt
 from picles_tpu.models.state import Particles2D
 from picles_tpu.ops.rhs import TermFlags
 
+SMOKE = _os.environ.get("PICLES_SMOKE") == "1"  # see tests/test_examples.py
+
 DT = 1800.0
-grid = pt.spherical_grid_2d(0.0, 180.0, 91, 0.0, 80.0, 41,
+NX, NY, NSTEP = (31, 21, 6) if SMOKE else (91, 41, 48)
+grid = pt.spherical_grid_2d(0.0, 180.0, NX, 0.0, 80.0, NY,
                             periodic_boundary=(True, False))
 
 ws = pt.FetchRelations.MinimalWindsea(1.0, 1.0, DT)
@@ -49,9 +52,9 @@ ms = dataclasses.replace(ms, particles=Particles2D.from_z(
 
 step = jax.jit(model.step)
 snaps, times = [], []
-for k in range(48):  # one day
+for k in range(NSTEP):  # one day (6 steps when smoke-testing)
     ms = step(ms)
-    if k % 8 == 7:
+    if k % (8 if not SMOKE else 2) == (7 if not SMOKE else 1):
         snaps.append(np.asarray(ms.state))
         times.append(float(ms.time))
 

@@ -21,8 +21,11 @@ import numpy as np
 
 import picles_tpu as pt
 
+SMOKE = _os.environ.get("PICLES_SMOKE") == "1"  # see tests/test_examples.py
+
 DT = 1200.0
 grid = pt.synthetic_tripolar_grid(k=2)
+STOP = 2 * DT if SMOKE else 6 * 3600.0
 
 def u(x, y, t):
     return 12.0 * jnp.exp(-(((jnp.asarray(y) - 40.0) / 20.0) ** 2))
@@ -37,7 +40,7 @@ sett = pt.ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
                       dtmin=1e-4, force_dtmin=True)
 model = pt.WaveGrowth2D(grid, winds, sett,
                         config=pt.WaveGrowth2DConfig(periodic_boundary=True))
-sim = pt.Simulation.create(model, stop_time=6 * 3600.0, verbose=True)
+sim = pt.Simulation.create(model, stop_time=STOP, verbose=True)
 sim.run(cash_store=True)
 
 states = sim.store.as_array()

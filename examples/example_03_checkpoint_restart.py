@@ -24,11 +24,16 @@ import numpy as np
 
 import picles_tpu as pt
 
+SMOKE = os.environ.get("PICLES_SMOKE") == "1"  # see tests/test_examples.py
+
 U10, DT = 12.0, 10 * 60.0
+N = 16 if SMOKE else 40
+T_CKPT = (3 * DT) if SMOKE else (3 * 3600.0)
+T_END = (6 * DT) if SMOKE else (6 * 3600.0)
 outdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp()
 
 winds = pt.time_cosine_winds(U10, 4.0, period=12 * 3600.0)
-grid = pt.cartesian_box(150e3, 40, 150e3, 40)
+grid = pt.cartesian_box(150e3, N, 150e3, N)
 wsmin = pt.FetchRelations.MinimalWindsea(U10, 4.0, DT)
 settings = pt.ODESettings(log_energy_minimum=float(wsmin.lne),
                           saving_step=DT, timestep=DT,
@@ -38,7 +43,7 @@ model = pt.WaveGrowth2D(grid, winds, settings,
                         config=pt.WaveGrowth2DConfig(periodic_boundary=False))
 
 # --- leg 1: 0 -> 3 h, checkpoint at the end --------------------------------
-sim = pt.Simulation.create(model, stop_time=3 * 3600.0, verbose=True)
+sim = pt.Simulation.create(model, stop_time=T_CKPT, verbose=True)
 sim.initialize()
 sim.init_state_store(outdir, name="leg1")
 sim.run(store=True)
@@ -46,14 +51,14 @@ ckpt = sim.checkpoint(os.path.join(outdir, "t3h"))
 print(f"checkpointed at t = {float(sim.state.time):.0f} s -> {ckpt}")
 
 # --- continue uninterrupted to 6 h -----------------------------------------
-sim.stop_time = 6 * 3600.0
+sim.stop_time = T_END
 sim.run(cash_store=True)
 final_a = np.asarray(sim.store.as_array()[-1])
 
 # --- leg 2: fresh Simulation resumed from the checkpoint --------------------
 model2 = pt.WaveGrowth2D(grid, winds, settings,
                          config=pt.WaveGrowth2DConfig(periodic_boundary=False))
-sim2 = pt.Simulation.create(model2, stop_time=6 * 3600.0, verbose=True)
+sim2 = pt.Simulation.create(model2, stop_time=T_END, verbose=True)
 sim2.pickup(ckpt)
 print(f"resumed at t = {float(sim2.state.time):.0f} s")
 sim2.run(cash_store=True)

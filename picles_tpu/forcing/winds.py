@@ -135,38 +135,71 @@ class GriddedWinds2D:
     def as_winds(self) -> Winds2D:
         return Winds2D(u=self.u, v=self.v)
 
-    def pallas_linear_fields(self, x, y, t0, DT):
-        """Per-node linearization of the winds over one step window
-        ``[t0, t0 + DT]`` for the fused Pallas advance kernel.
+    def n_breakpoints(self, DT: float) -> int:
+        """Max wind-data frame boundaries a ``[t0, t0 + DT]`` window can
+        straddle: ``ceil(DT / dt)``.  Static (python ints/floats only) —
+        it sizes the piecewise-linear field tuple at trace time."""
+        import math
+
+        return max(1, int(math.ceil(float(DT) / float(self.dt) - 1e-9)))
+
+    def pallas_pwl_fields(self, x, y, t0, DT):
+        """EXACT per-node time dependence of the winds over one step window
+        ``[t0, t0 + DT]`` for the fused Pallas kernels.
 
         Winds are sampled at the fixed node position (reference
         particle_waves_v5.jl:488-495 — params.x/y override the advected
-        coordinates), so within a step only time varies:
-        ``u(t) = a_u + t * s_u`` per node, with the endpoint values taken
-        from the full tri-linear interpolant.  This equals the interpolant
-        exactly whenever the window does not straddle a wind-data frame
-        boundary (always true when the forcing cadence is a multiple of DT
-        and aligned, the usual configuration), and is a secant
-        approximation otherwise.
+        coordinates), so within a step only time varies, and the tri-linear
+        interpolant (reference WindEmulator.jl:18-43) is PIECEWISE-linear in
+        t with breakpoints at the wind-data frame times.  The window
+        straddles at most ``B = n_breakpoints(DT)`` of them, so per node
 
-        Returns ``(a_u, s_u, a_v, s_v)`` arrays shaped like ``x``.
+            u(t) = a_u + s_u * t + sum_k ds_k * max(t - b_k, 0)
+
+        with slope jumps ``ds_k = s_k - s_{k-1}`` at the frame boundaries
+        ``b_k`` inside the window — equal to the interpolant everywhere in
+        the window (breakpoints at/after ``t0 + DT`` contribute 0; a window
+        inside one frame interval has all ``ds_k = 0`` and reduces to the
+        aligned-cadence linearization).  Frame values are sampled through
+        ``self.u/v`` at the frame times, so the per-axis edge modes
+        (space wrap/clamp, time clamp/wrap) transfer exactly.
+
+        Returns ``(a_u, s_u, a_v, s_v, [ds_u_k, ds_v_k, b_k] * B)`` arrays
+        shaped like ``x`` — the ``wind_fields`` contract of
+        ``gridded_pallas_samplers(B)``.
         """
-        t0b = jnp.broadcast_to(jnp.asarray(t0, jnp.float32), jnp.shape(x))
-        u0, v0 = self.u(x, y, t0b), self.v(x, y, t0b)
-        u1, v1 = self.u(x, y, t0b + DT), self.v(x, y, t0b + DT)
-        su = (u1 - u0) / DT
-        sv = (v1 - v0) / DT
-        return (u0 - t0b * su, su, v0 - t0b * sv, sv)
+        B = self.n_breakpoints(DT)
+        shp = jnp.shape(x)
+        t0b = jnp.broadcast_to(jnp.asarray(t0, jnp.float32), shp)
+        # frame index at/below t0; frame time t_f[j] = t0w + (k0 + j) dtw
+        k0 = jnp.floor((t0b - self.t0) / self.dt)
+        tf = [self.t0 + (k0 + j) * self.dt for j in range(B + 2)]
+        us = [self.u(x, y, t) for t in tf]
+        vs = [self.v(x, y, t) for t in tf]
+        s_u = [(us[j + 1] - us[j]) / self.dt for j in range(B + 1)]
+        s_v = [(vs[j + 1] - vs[j]) / self.dt for j in range(B + 1)]
+        fields = [us[0] - tf[0] * s_u[0], s_u[0],
+                  vs[0] - tf[0] * s_v[0], s_v[0]]
+        for k in range(1, B + 1):
+            fields += [s_u[k] - s_u[k - 1], s_v[k] - s_v[k - 1], tf[k]]
+        return tuple(fields)
 
 
-def gridded_pallas_samplers():
-    """Kernel-side wind samplers matching ``pallas_linear_fields``:
-    ``u_wind(xn, yn, t, a_u, s_u, a_v, s_v)`` — pure elementwise ops."""
-    def u(xn, yn, t, au, su, av, sv):
-        return au + t * su
+def gridded_pallas_samplers(n_break: int = 0):
+    """Kernel-side wind samplers matching ``pallas_pwl_fields``:
+    ``u_wind(xn, yn, t, a_u, s_u, a_v, s_v, [ds_u_k, ds_v_k, b_k]*B)`` —
+    pure elementwise ops (the breakpoint terms unroll at trace time)."""
+    def u(xn, yn, t, *f):
+        val = f[0] + t * f[1]
+        for k in range(n_break):
+            val = val + f[4 + 3 * k] * jnp.maximum(t - f[6 + 3 * k], 0.0)
+        return val
 
-    def v(xn, yn, t, au, su, av, sv):
-        return av + t * sv
+    def v(xn, yn, t, *f):
+        val = f[2] + t * f[3]
+        for k in range(n_break):
+            val = val + f[5 + 3 * k] * jnp.maximum(t - f[6 + 3 * k], 0.0)
+        return val
 
     return u, v
 
@@ -210,7 +243,9 @@ def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
                           v_name: str = "v10", x_name: str = "longitude",
                           y_name: str = "latitude", t_name: str = "time",
                           mode: str = "nearest",
-                          mode_t: str = "clamp") -> GriddedWinds2D:
+                          mode_t: str = "clamp",
+                          time_scale: float = 1.0,
+                          relative_time: bool = False) -> GriddedWinds2D:
     """Load (t, x, y) wind fields from a NetCDF file into GriddedWinds2D.
 
     The analog of the reference's NCDatasets-based wind forcing
@@ -219,6 +254,14 @@ def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
     NetCDF-3 fallback (same strategy as grids.tripolar.load_mom6_grid).
     Axes must be uniform (linear-index interpolation); data stored
     [t, y, x] (CF convention) is transposed to [t, x, y].
+
+    ERA5-style files (the reference's
+    era5_surfacewinds_202301_10days_6hourly_1deg.nc) name the variables
+    ``lon/lat/time/U10N/V10N`` and carry the time axis in hours; pass
+    ``u_name="U10N", v_name="V10N", x_name="lon", y_name="lat",
+    time_scale=3600.0, relative_time=True`` to convert to
+    seconds-since-first-frame (the reference's Dates.Millisecond
+    conversion, T03_PIC_tripolar_realistic.jl:61-65).
     """
     import numpy as np
 
@@ -249,7 +292,9 @@ def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
 
     x0, dx = _uniform(xs, x_name)
     y0, dy = _uniform(ys, y_name)
-    t0, dt = _uniform(ts, t_name)
+    if relative_time:
+        ts = ts - ts[0]
+    t0, dt = _uniform(ts * time_scale, t_name)
 
     def _txy(a):
         a = np.asarray(a, np.float32)

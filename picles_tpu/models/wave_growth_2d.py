@@ -157,6 +157,10 @@ class WaveGrowth2D:
             constants=self.constants, flags=flags)
 
         DT = ode_settings.timestep
+        # static breakpoint count of the exact piecewise-linear wind fields
+        # on the Pallas path (see GriddedWinds2D.pallas_pwl_fields)
+        self._wind_B = (self.gridded_winds.n_breakpoints(DT)
+                        if self.gridded_winds is not None else 0)
         # reference defaults: MinimalParticle(2, 2, DT) / MinimalState(2, 2, DT)
         # (WaveGrowthModels2D.jl:234-246)
         self.minimal_particle = (jnp.asarray(minimal_particle, config.dtype)
@@ -245,6 +249,20 @@ class WaveGrowth2D:
         self._boundary_differs = (self.boundary_defaults is not self.defaults
                                   and not (self.boundary_defaults is None
                                            and self.defaults is None))
+
+    def _pallas_wind(self, grid, t0):
+        """Kernel-side wind samplers + per-window field planes.
+
+        Gridded winds ride the Pallas kernels as their exact piecewise-
+        linear-in-t decomposition over the DT window (winds are node-
+        sampled, so time is the only in-kernel variable); analytic winds
+        pass straight through with no fields."""
+        if self.gridded_winds is not None:
+            u_k, v_k = gridded_pallas_samplers(self._wind_B)
+            fields = self.gridded_winds.pallas_pwl_fields(
+                grid.x, grid.y, t0, float(self.settings.timestep))
+            return u_k, v_k, fields
+        return self.winds.u, self.winds.v, ()
 
     # ------------------------------------------------------------------
     # seeding
@@ -347,13 +365,7 @@ class WaveGrowth2D:
             consts = make_rhs_consts(gamma=self.constants.gamma,
                                      constants=self.constants,
                                      params=self.params)
-            if self.gridded_winds is not None:
-                u_k, v_k = gridded_pallas_samplers()
-                wind_fields = self.gridded_winds.pallas_linear_fields(
-                    grid.x, grid.y, ms.time, float(sett.timestep))
-            else:
-                u_k, v_k = self.winds.u, self.winds.v
-                wind_fields = ()
+            u_k, v_k, wind_fields = self._pallas_wind(grid, ms.time)
             pres = advance_pallas(u_k, v_k, consts,
                                   self.flags, self.solver,
                                   float(sett.timestep), comps0,
@@ -491,13 +503,7 @@ class WaveGrowth2D:
             consts = make_rhs_consts(gamma=self.constants.gamma,
                                      constants=self.constants,
                                      params=self.params)
-            if self.gridded_winds is not None:
-                u_k, v_k = gridded_pallas_samplers()
-                wind_fields = self.gridded_winds.pallas_linear_fields(
-                    grid.x, grid.y, ms.time, float(sett.timestep))
-            else:
-                u_k, v_k = self.winds.u, self.winds.v
-                wind_fields = ()
+            u_k, v_k, wind_fields = self._pallas_wind(grid, ms.time)
             dt_auto = auto_dt_pallas(u_k, v_k, consts,
                                      self.flags, t, (lne, cgx, cgy, px, py),
                                      grid.x, grid.y,
@@ -564,13 +570,7 @@ class WaveGrowth2D:
 
         cfg = self.config
         sett = self.settings
-        if self.gridded_winds is not None:
-            u_k, v_k = gridded_pallas_samplers()
-            wind_fields = self.gridded_winds.pallas_linear_fields(
-                grid.x, grid.y, ms.time, float(sett.timestep))
-        else:
-            u_k, v_k = self.winds.u, self.winds.v
-            wind_fields = ()
+        u_k, v_k, wind_fields = self._pallas_wind(grid, ms.time)
         d = self.defaults
         defaults = None if d is None else (d.lne, d.cg_x, d.cg_y)
         if self._boundary_differs:
@@ -677,11 +677,22 @@ class WaveGrowth2D:
         return jax.vmap(self.step, in_axes=(in_axes,),
                         out_axes=out_axes)(ms)
 
-    def as_layered(self, per_layer_defaults=None) -> "LayeredWaveGrowth2D":
+    def with_winds(self, winds) -> "WaveGrowth2D":
+        """A model sharing this one's grid/settings/constants but forced by
+        different winds (used by per-layer wind forcing)."""
+        return WaveGrowth2D(self.grid, winds, self.settings,
+                            ode_params=self.params, constants=self.constants,
+                            flags=self.flags,
+                            minimal_particle=self.minimal_particle,
+                            minimal_state=self.minimal_state,
+                            config=self.config)
+
+    def as_layered(self, per_layer_defaults=None,
+                   per_layer_winds=None) -> "LayeredWaveGrowth2D":
         """Driver-compatible layered view (reference `layers` kwarg,
         WaveGrowthModels2D.jl:112-119): Simulation/StateStore work
         unchanged and store ``[time, layer, x, y, state]``."""
-        return LayeredWaveGrowth2D(self, per_layer_defaults)
+        return LayeredWaveGrowth2D(self, per_layer_defaults, per_layer_winds)
 
     @partial(jax.jit, static_argnums=(0, 2))
     def step_n(self, ms: ModelState2D, n: int) -> Tuple[ModelState2D, jnp.ndarray]:
@@ -720,17 +731,56 @@ class LayeredWaveGrowth2D:
     run stores ``[time, layer, x, y, state]``.
     """
 
-    def __init__(self, model: WaveGrowth2D, per_layer_defaults=None):
+    def __init__(self, model: WaveGrowth2D, per_layer_defaults=None,
+                 per_layer_winds=None):
         self.model = model
         self.per_layer_defaults = per_layer_defaults
         self.settings = model.settings
         self.grid = model.grid
         self.layers = model.config.layers
+        # per-layer wind forcing (each swell system driven by its own
+        # sampler): one model variant per layer sharing grid/settings,
+        # stepped unrolled at trace time (L is small) — arbitrary wind
+        # closures cannot ride a single vmap
+        if per_layer_winds is not None:
+            if len(per_layer_winds) != self.layers:
+                raise ValueError(f"need {self.layers} per-layer winds, "
+                                 f"got {len(per_layer_winds)}")
+            self.layer_models = [model.with_winds(w) for w in per_layer_winds]
+        else:
+            self.layer_models = None
+
+    @staticmethod
+    def _layer_slice(ms: ModelState2D, i: int) -> ModelState2D:
+        take = lambda x: x[i]  # noqa: E731
+        return ModelState2D(state=ms.state[i],
+                            particles=jax.tree.map(take, ms.particles),
+                            time=ms.time, iteration=ms.iteration,
+                            metrics=jax.tree.map(take, ms.metrics))
+
+    @staticmethod
+    def _layer_stack(parts) -> ModelState2D:
+        stack = lambda *xs: jnp.stack(xs)  # noqa: E731
+        return ModelState2D(
+            state=jnp.stack([p.state for p in parts]),
+            particles=jax.tree.map(stack, *[p.particles for p in parts]),
+            time=parts[0].time, iteration=parts[0].iteration,
+            metrics=jax.tree.map(stack, *[p.metrics for p in parts]))
 
     def init_state(self) -> ModelState2D:
+        if self.layer_models is not None:
+            defaults = (self.per_layer_defaults
+                        or ["model"] * self.layers)
+            return self._layer_stack(
+                [m.init_state(defaults=d)
+                 for m, d in zip(self.layer_models, defaults)])
         return self.model.init_state_layers(self.per_layer_defaults)
 
     def step(self, ms: ModelState2D) -> ModelState2D:
+        if self.layer_models is not None:
+            return self._layer_stack(
+                [m.step(self._layer_slice(ms, i))
+                 for i, m in enumerate(self.layer_models)])
         return self.model.step_layers(ms)
 
     @partial(jax.jit, static_argnums=(0, 2))

@@ -12,10 +12,11 @@ max sub-step count, not the global one.
 Constraints:
  - the wind sampler must be elementwise jnp ops over the node coordinates,
    the time, and optional per-node ``wind_fields`` arrays.  Analytic winds
-   are closures; gridded winds pass their per-DT-window linearization
-   ``u = a_u + t * s_u`` as 4 field refs (winds are sampled at the fixed
-   node position, mirroring the reference, so time is the only in-kernel
-   variable — see GriddedWinds2D.pallas_linear_fields),
+   are closures; gridded winds pass their exact per-DT-window piecewise-
+   linear decomposition ``u = a_u + t*s_u + sum_k ds_k*max(t - b_k, 0)``
+   as field refs (winds are sampled at the fixed node position, mirroring
+   the reference, so time is the only in-kernel variable — see
+   GriddedWinds2D.pallas_pwl_fields),
  - semantics match `integrate_to` exactly (same controller constants), so
    the two paths are interchangeable and cross-checked in tests.
 """
@@ -305,8 +306,8 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
     Wind sampler contract: ``u_wind(xn, yn, t, *wind_fields)`` where
     ``wind_fields`` are per-node ``[nx, ny]`` arrays streamed into VMEM
     alongside the particle state.  Analytic winds ignore the fields
-    (pass ``()``); gridded winds pass their per-step linearization
-    (see forcing.winds.GriddedWinds2D.pallas_linear_fields).
+    (pass ``()``); gridded winds pass their exact piecewise-linear
+    decomposition (see forcing.winds.GriddedWinds2D.pallas_pwl_fields).
     """
     from .pallas_util import auto_block_x, pad_rows, row_block
 

@@ -69,14 +69,19 @@ def grid_specs(grid: Grid2D) -> Grid2D:
                   pc=P("x", "y"), stats=grid.stats)
 
 
-def state_specs() -> ModelState2D:
-    pxy = P("x", "y")
+def state_specs(layered: bool = False) -> ModelState2D:
+    """PartitionSpecs for a ModelState2D; ``layered=True`` for states with
+    a leading (replicated) layer axis ``[L, nx, ny, ...]`` whose metrics
+    are per-layer ``[L]`` arrays."""
+    lead = (None,) if layered else ()
+    pxy = P(*lead, "x", "y")
+    pmet = P(None) if layered else P()
     return ModelState2D(
-        state=P("x", "y", None),
+        state=P(*lead, "x", "y", None),
         particles=Particles2D(lne=pxy, cgx=pxy, cgy=pxy, px=pxy, py=pxy,
                               t=pxy, dt=pxy, on=pxy),
         time=P(), iteration=P(),
-        metrics=StepMetrics(*([P()] * len(StepMetrics._fields))))
+        metrics=StepMetrics(*([pmet] * len(StepMetrics._fields))))
 
 
 class ShardedWaveGrowth2D:
@@ -93,6 +98,19 @@ class ShardedWaveGrowth2D:
         self.mesh = mesh
         self.nx_dev = mesh.shape["x"]
         self.ny_dev = mesh.shape["y"]
+        # layered models (config.layers > 1): the step vmaps over the
+        # leading layer axis INSIDE the shard_map body — every layer
+        # shares the mesh, layer planes are [L, nx/px, ny/py] per shard
+        # (reference `layers` State dimension, WaveGrowthModels2D.jl:112-119)
+        self.layers = int(getattr(getattr(model, "config", None),
+                                  "layers", 1) or 1)
+        if not hasattr(model, "step_core"):
+            raise TypeError(
+                "ShardedWaveGrowth2D wraps a WaveGrowth2D model; for a "
+                "LayeredWaveGrowth2D adapter pass its `.model` (layers "
+                "shard automatically when config.layers > 1). Per-layer "
+                "winds are a single-device feature (each layer closes "
+                "over its own wind sampler).")
         g = model.grid
         if g.nx % self.nx_dev or g.ny % self.ny_dev:
             raise ValueError(
@@ -168,15 +186,30 @@ class ShardedWaveGrowth2D:
     def _build_step(self):
         model = self.model
         gspec = grid_specs(model.grid)
-        msspec = state_specs()
+        layered = self.layers > 1
+        msspec = state_specs(layered)
 
         def local_step(ms, grid, active, boundary):
             return model.step_core(ms, grid, active, boundary,
                                    self._scatter_sharded,
                                    psum_axes=("x", "y"))
 
+        if layered:
+            met0 = StepMetrics(*([0] * len(StepMetrics._fields)))
+            p0 = Particles2D(lne=0, cgx=0, cgy=0, px=0, py=0, t=0, dt=0, on=0)
+            ms_ax = ModelState2D(state=0, particles=p0, time=None,
+                                 iteration=None, metrics=met0)
+
+            def body(ms, grid, active, boundary):
+                # vmap over layers inside the shard: collectives keep
+                # acting on the named mesh axes, batched over L
+                return jax.vmap(local_step, in_axes=(ms_ax, None, None, None),
+                                out_axes=ms_ax)(ms, grid, active, boundary)
+        else:
+            body = local_step
+
         sharded = shard_map(
-            local_step, mesh=self.mesh,
+            body, mesh=self.mesh,
             in_specs=(msspec, gspec, P("x", "y"), P("x", "y")),
             out_specs=msspec,
             check_vma=False)
@@ -202,7 +235,7 @@ class ShardedWaveGrowth2D:
     def shard_state(self, ms: ModelState2D) -> ModelState2D:
         """Place a (host/global) ModelState onto the mesh with the step's
         shardings so no resharding happens inside the loop."""
-        specs = state_specs()
+        specs = state_specs(self.layers > 1)
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
             ms, specs)

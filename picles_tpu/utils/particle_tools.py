@@ -30,20 +30,66 @@ def create_iteration_mask(time: np.ndarray) -> np.ndarray:
     return mask
 
 
-def record_trajectories(model, ms, n_steps: int):
+def record_trajectories(model, ms, n_steps: int, saving_step=None):
     """Run n steps collecting per-step particle SoA snapshots.
 
     Returns (final_state, dict with stacked arrays z[n, ...], t[n, ...],
     on[n, ...], state[n, ...]) — the batched analog of the reference's
-    per-particle ``sol`` histories."""
+    per-particle ``sol`` histories.
+
+    ``saving_step`` (default ``model.settings.saving_step``) enables
+    SUB-DT trajectory sampling, the analog of the reference integrators'
+    retained ``saveat=saving_step`` solution histories
+    (particle_waves_v5.jl:60, core_2D.jl:177-194): when it is smaller
+    than DT, every model step additionally records the raw ODE solution
+    at each save point by advancing a shadow copy of the particle state
+    in save-aligned sub-windows (guards/remesh are per-DT events and do
+    not appear inside a window, exactly like the reference's in-window
+    histories).  The result dict then also carries ``z_fine`` shaped
+    ``[n * K, ...]`` and ``t_fine`` with ``K = round(DT / saving_step)``
+    samples per step (the last one landing on the step end).
+    """
+    from ..ops.tsit5 import integrate_to
+
+    DT = float(model.settings.timestep)
+    if saving_step is None:
+        saving_step = float(getattr(model.settings, "saving_step", DT))
+    K = max(1, int(round(DT / float(saving_step))))
 
     def body(carry, _):
-        nxt = model.step(carry)
-        return nxt, (nxt.particles.z, nxt.particles.t, nxt.particles.on,
-                     nxt.state)
+        if K > 1:
+            # shadow sub-window advance of the CURRENT particles: the raw
+            # in-window ODE history at the save cadence
+            P = carry.particles
+            # 1D models carry no separate aux/active_mask attributes
+            aux = getattr(model, "aux", model.grid)
+            active = P.on & getattr(model, "active_mask", True)
+            h = jnp.asarray(DT / K, P.t.dtype)
 
-    final, (z, t, on, state) = jax.lax.scan(body, ms, None, length=n_steps)
-    return final, dict(z=z, t=t, on=on, state=state)
+            def sub(sc, _):
+                z, t, dtc = sc
+                res = integrate_to(model.rhs, z, t, t + h, dtc, aux,
+                                   active, model.solver)
+                return (res.z, res.t, res.dt), (res.z, res.t)
+
+            _, (z_fine, t_fine) = jax.lax.scan(
+                sub, (P.z, P.t, P.dt), None, length=K)
+        else:
+            z_fine = t_fine = None
+        nxt = model.step(carry)
+        out = (nxt.particles.z, nxt.particles.t, nxt.particles.on, nxt.state)
+        if K > 1:
+            out = out + (z_fine, t_fine)
+        return nxt, out
+
+    final, outs = jax.lax.scan(body, ms, None, length=n_steps)
+    z, t, on, state = outs[:4]
+    rec = dict(z=z, t=t, on=on, state=state)
+    if K > 1:
+        zf, tf = outs[4], outs[5]   # [n, K, ...] -> [n*K, ...]
+        rec["z_fine"] = zf.reshape((n_steps * K,) + zf.shape[2:])
+        rec["t_fine"] = tf.reshape((n_steps * K,) + tf.shape[2:])
+    return final, rec
 
 
 def particle_to_dataframe(z_hist: np.ndarray, t_hist: np.ndarray,

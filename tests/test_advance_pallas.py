@@ -139,31 +139,74 @@ def test_pallas_advance_gridded_winds():
     assert int(sp.metrics.n_gather) == int(sx.metrics.n_gather)
 
 
-def test_gridded_linear_fields_match_interpolant():
-    """pallas_linear_fields reproduces the interpolant at the window
-    endpoints and midpoint (within a frame interval)."""
+@pytest.mark.parametrize("t0,dtw,DT", [
+    (1200.0, 1200.0, 600.0),   # aligned: window inside one frame interval
+    (900.0, 1200.0, 600.0),    # straddles one frame boundary (t=1200)
+    (700.0, 1200.0, 600.0),    # straddle at an uneven offset
+    (500.0, 400.0, 600.0),     # DT > frame cadence: B=2, two breakpoints
+    (10300.0, 1200.0, 600.0),  # straddles the record end (time clamp)
+])
+def test_gridded_pwl_fields_match_interpolant_everywhere(t0, dtw, DT):
+    """pallas_pwl_fields reproduces the tri-linear interpolant EXACTLY at
+    dense query times through the window — including windows that straddle
+    wind-data frame boundaries (the case the old secant linearization
+    approximated) and the record-end time clamp."""
     from picles_tpu.forcing.winds import (GriddedWinds2D,
                                           gridded_pallas_samplers)
 
-    DT = 600.0
     rng = np.random.default_rng(1)
     gw = GriddedWinds2D(
         u_data=jnp.asarray(rng.standard_normal((10, 8, 8)).astype(np.float32)),
         v_data=jnp.asarray(rng.standard_normal((10, 8, 8)).astype(np.float32)),
-        x0=0.0, dx=10e3, y0=0.0, dy=10e3, t0=0.0, dt=2 * DT)
+        x0=0.0, dx=10e3, y0=0.0, dy=10e3, t0=0.0, dt=dtw)
     x = jnp.asarray(np.linspace(0, 70e3, 8, dtype=np.float32))
     xx, yy = jnp.meshgrid(x, x, indexing="ij")
-    t0 = 1200.0  # window [1200, 1800] inside frame interval [1200, 2400]
-    au, su, av, sv = gw.pallas_linear_fields(xx, yy, t0, DT)
-    u_k, v_k = gridded_pallas_samplers()
-    for tq in (t0, t0 + 0.5 * DT, t0 + DT):
+    B = gw.n_breakpoints(DT)
+    fields = gw.pallas_pwl_fields(xx, yy, t0, DT)
+    assert len(fields) == 4 + 3 * B
+    u_k, v_k = gridded_pallas_samplers(B)
+    for frac in np.linspace(0.0, 1.0, 13):
+        tq = t0 + frac * DT
         tqb = jnp.full_like(xx, tq)
-        np.testing.assert_allclose(np.asarray(u_k(xx, yy, tqb, au, su, av, sv)),
+        np.testing.assert_allclose(np.asarray(u_k(xx, yy, tqb, *fields)),
                                    np.asarray(gw.u(xx, yy, tqb)),
-                                   rtol=1e-5, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(v_k(xx, yy, tqb, au, su, av, sv)),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"u t={tq}")
+        np.testing.assert_allclose(np.asarray(v_k(xx, yy, tqb, *fields)),
                                    np.asarray(gw.v(xx, yy, tqb)),
-                                   rtol=1e-5, atol=1e-5)
+                                   rtol=1e-5, atol=1e-5, err_msg=f"v t={tq}")
+
+
+def test_pallas_advance_gridded_winds_frame_straddle():
+    """Model-level lock for the straddle case: wind frames at a cadence
+    that is NOT a multiple of DT (900 s vs DT = 600 s), so every other DT
+    window crosses a frame boundary mid-advance.  With the exact PWL
+    fields the Pallas path must match the XLA path (which samples the
+    interpolant directly at every RHS eval) at solver tolerance — there is
+    no longer a silent secant approximation on the production path."""
+    from picles_tpu.forcing.winds import GriddedWinds2D
+
+    nxw = nyw = 10
+    ntw = 30
+    rng = np.random.default_rng(7)
+    # smooth-ish in space, sharply varying between frames so a secant
+    # across a frame boundary would be visibly wrong
+    base = rng.uniform(6.0, 14.0, (ntw, 1, 1))
+    u_data = (base + rng.standard_normal((ntw, nxw, nyw))).astype(np.float32)
+    v_data = (0.5 * base
+              + rng.standard_normal((ntw, nxw, nyw))).astype(np.float32)
+    gw = GriddedWinds2D(u_data=jnp.asarray(u_data), v_data=jnp.asarray(v_data),
+                        x0=0.0, dx=100e3 / (nxw - 1), y0=0.0,
+                        dy=100e3 / (nyw - 1), t0=0.0, dt=900.0)
+    mx, mp = _models(gw.as_winds(), n=16)
+    assert mp._wind_B == 1
+    sx, sp = mx.init_state(), mp.init_state()
+    for _ in range(4):   # windows [0,600], [600,1200]*, [1200,1800]*, ...
+        sx = mx.step(sx)
+        sp = mp.step(sp)
+    np.testing.assert_allclose(np.asarray(sp.state), np.asarray(sx.state),
+                               rtol=1e-2, atol=1e-7)
+    assert int(sp.metrics.n_failed) == 0
+    assert int(sp.metrics.n_gather) == int(sx.metrics.n_gather)
 
 
 def test_auto_dt_pallas_matches_xla():

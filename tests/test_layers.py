@@ -102,3 +102,69 @@ def test_layered_storeless_run_o_state():
     sim.run()
     assert sim.state.state.shape == (L, 12, 12, 3)
     assert float(sim.state.time) == 4 * 600.0
+
+
+def test_layers_per_layer_winds():
+    """Per-layer wind forcing (as_layered(per_layer_winds=...)): each swell
+    system evolves under its own sampler; a layer forced like a plain model
+    must reproduce that model exactly."""
+    L = 3
+    m = _model(L)
+    winds = [constant_winds(10.0, 5.0), constant_winds(6.0, 0.0),
+             constant_winds(0.0, 12.0)]
+    lm = m.as_layered(per_layer_winds=winds)
+    ms = lm.init_state()
+    assert ms.state.shape == (L, 12, 12, 3)
+    step = jax.jit(lm.step)
+    for _ in range(3):
+        ms = step(ms)
+    # layers see different winds -> different fields
+    e = np.asarray(ms.state[..., 0])
+    assert not np.allclose(e[0], e[1])
+    assert not np.allclose(e[1], e[2])
+    # layer 0's forcing equals the base model's: exact same trajectory
+    single = _model(1)
+    ss = single.init_state()
+    sstep = jax.jit(single.step)
+    for _ in range(3):
+        ss = sstep(ss)
+    np.testing.assert_allclose(e[0], np.asarray(ss.state[..., 0]),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_layers_sharded_matches_single_device():
+    """Layered x sharded composition: config.layers > 1 states shard over
+    the mesh with the layer axis replicated (vmap inside the shard_map
+    body); must reproduce the single-device step_layers run."""
+    from picles_tpu.parallel.sharded import ShardedWaveGrowth2D, make_mesh
+
+    L = 3
+    m = _model(L, n=16)
+    mesh = make_mesh(shape=(4, 2))
+    sharded = ShardedWaveGrowth2D(m, mesh)
+    assert sharded.layers == L
+
+    ms0 = m.init_state_layers(_swell_defaults(L))
+    ref = ms0
+    step_ref = jax.jit(m.step_layers)
+    msh = sharded.shard_state(ms0)
+    for _ in range(2):
+        ref = step_ref(ref)
+        msh = sharded.step(msh)
+    np.testing.assert_allclose(np.asarray(msh.state), np.asarray(ref.state),
+                               rtol=2e-3, atol=1e-9)
+    for k in ("n_active", "n_gather", "n_failed"):
+        np.testing.assert_array_equal(np.asarray(getattr(msh.metrics, k)),
+                                      np.asarray(getattr(ref.metrics, k)), k)
+
+
+def test_layered_adapter_rejected_by_sharded_with_clear_error():
+    """Passing the LayeredWaveGrowth2D adapter itself (per-layer winds are
+    single-device closures) fails loudly, pointing at `.model`."""
+    import pytest
+
+    from picles_tpu.parallel.sharded import ShardedWaveGrowth2D, make_mesh
+
+    lm = _model(2, n=16).as_layered()
+    with pytest.raises(TypeError, match="pass its `.model`"):
+        ShardedWaveGrowth2D(lm, make_mesh(shape=(4, 2)))

@@ -198,3 +198,105 @@ def test_load_gridded_winds_netcdf(tmp_path):
     mid = float(gw.u(jnp.asarray(xs[2]), jnp.asarray(ys[3]),
                      jnp.asarray(0.5 * (ts[1] + ts[2]))))
     assert abs(mid - 0.5 * (u[1, 3, 2] + u[2, 3, 2])) < 1e-3
+
+
+def test_record_trajectories_sub_dt_saving_step():
+    """ODESettings.saving_step < DT records sub-DT particle histories
+    (the reference's saveat=saving_step integrator solutions,
+    particle_waves_v5.jl:60).  Locked with fixed-substep mode: the
+    sub-window shadow advance takes the identical substep sequence as the
+    in-step advance, so the last save point must equal the post-advance
+    (pre-remesh guards aside) state to f32 ulp."""
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    # fixed 30 s substeps: stable through the young-windsea transient
+    # (75 s blows up — the adaptive path would shrink, fixed mode cannot)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=150.0,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=30.0,
+                       dtmin=1e-4, force_dtmin=True, adaptive=False)
+    grid = cartesian_box(100e3, 9, 100e3, 9, periodic_boundary=(True, True))
+    model = WaveGrowth2D(grid, constant_winds(10.0, 10.0), sett,
+                         config=WaveGrowth2DConfig(periodic_boundary=True))
+    ms = model.init_state()
+    final, hist = PT.record_trajectories(model, ms, 3)
+    K = 4  # round(600 / 150)
+    assert hist["z_fine"].shape == (3 * K, 9, 9, 5)
+    assert hist["t_fine"].shape == (3 * K, 9, 9)
+    tf = np.asarray(hist["t_fine"])[:, 4, 4]
+    np.testing.assert_allclose(tf, 150.0 * np.arange(1, 3 * K + 1), rtol=1e-6)
+    # sub-DT samples refine the per-DT history: every K-th fine sample is
+    # an advance landing on a DT boundary; the raw in-window energies grow
+    lne_fine = np.asarray(hist["z_fine"])[:, 4, 4, 0]
+    assert np.all(np.diff(lne_fine[:K]) > 0)  # young windsea grows within DT
+    # exactness at the first step end (before any remesh rewrote z):
+    # fixed substeps (75 s) tile the 150 s save windows, so the shadow
+    # advance equals a one-shot advance to DT
+    from picles_tpu.ops.tsit5 import integrate_to
+    P = ms.particles
+    res = integrate_to(model.rhs, P.z, P.t, P.t + DT, P.dt, model.aux,
+                       P.on & model.active_mask, model.solver)
+    np.testing.assert_allclose(lne_fine[K - 1],
+                               np.asarray(res.z)[4, 4, 0], rtol=1e-6)
+
+
+def test_record_trajectories_default_saving_step_is_dt():
+    """saving_step == DT (the default _model config): no z_fine entry,
+    identical behavior to the per-DT history."""
+    model = _model(n=9)
+    ms = model.init_state()
+    _, hist = PT.record_trajectories(model, ms, 2)
+    assert "z_fine" not in hist
+    assert hist["z"].shape == (2, 9, 9, 5)
+
+
+def test_load_era5_shaped_file_reference_names(tmp_path):
+    """Reference-fidelity fixture: a file shaped like the reference's
+    actual ERA5 blob (era5_surfacewinds_202301_10days_6hourly_1deg.nc,
+    T03_PIC_tripolar_realistic.jl:54-71) — variables lon/lat/time/U10N/
+    V10N, CF [time, lat, lon] layout, 6-hourly time axis in HOURS since an
+    epoch.  The loader must apply the hours->relative-seconds conversion
+    (the reference's Dates.Millisecond step) and drive a model run."""
+    import h5py
+
+    from picles_tpu.forcing.winds import load_gridded_winds_2d
+    from picles_tpu.models.wave_growth_2d import (WaveGrowth2D,
+                                                  WaveGrowth2DConfig)
+
+    nt, nlat, nlon = 8, 7, 9
+    hours = 1_043_712.0 + 6.0 * np.arange(nt)       # ERA5 epoch-hours style
+    lons = np.linspace(0.0, 80e3, nlon)             # project-plane coords
+    lats = np.linspace(0.0, 60e3, nlat)
+    rng = np.random.default_rng(3)
+    U = (10.0 + 2.0 * rng.standard_normal((nt, nlat, nlon))).astype(np.float32)
+    V = (5.0 + rng.standard_normal((nt, nlat, nlon))).astype(np.float32)
+    path = str(tmp_path / "era5_surfacewinds_6hourly.nc")
+    with h5py.File(path, "w") as f:
+        f["U10N"] = U
+        f["V10N"] = V
+        f["lon"] = lons
+        f["lat"] = lats
+        f["time"] = hours
+
+    gw = load_gridded_winds_2d(path, u_name="U10N", v_name="V10N",
+                               x_name="lon", y_name="lat",
+                               time_scale=3600.0, relative_time=True)
+    assert gw.t0 == 0.0 and gw.dt == 6 * 3600.0     # seconds since frame 0
+    # on-node, frame-2 sample (t = 12 h in seconds)
+    got = float(gw.u(jnp.asarray(lons[4]), jnp.asarray(lats[3]),
+                     jnp.asarray(12 * 3600.0)))
+    assert got == float(U[2, 3, 4])
+
+    # the loaded forcing drives a model end-to-end
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(80e3, 9, 60e3, 7, periodic_boundary=(True, True))
+    model = WaveGrowth2D(grid, gw.as_winds(), sett,
+                         config=WaveGrowth2DConfig(periodic_boundary=True))
+    assert model.gridded_winds is gw
+    ms = model.init_state()
+    ms, _ = model.step_n(ms, 2)
+    assert np.all(np.isfinite(np.asarray(ms.state)))
+    assert int(ms.metrics.n_failed) == 0
