@@ -26,7 +26,7 @@ BASELINE_PUSHES_PER_S = 5.0e4  # BASELINE.md derived reference throughput
 
 
 def build(nx, ny, advance_mode="pallas", dt_reset_mode="carry",
-          solver="bosh3"):
+          solver="bosh3", remesh_mode="xla"):
     from picles_tpu.core import fetch_relations as FR
     from picles_tpu.core.constants import ODESettings
     from picles_tpu.forcing.winds import constant_winds
@@ -59,6 +59,7 @@ def build(nx, ny, advance_mode="pallas", dt_reset_mode="carry",
                                                   advance_mode=advance_mode,
                                                   scatter_mode=scatter_mode,
                                                   dt_reset_mode=dt_reset_mode,
+                                                  remesh_mode=remesh_mode,
                                                   halo=((0, 3), (0, 3))))
 
 

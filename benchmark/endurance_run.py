@@ -1,0 +1,131 @@
+"""Production-horizon endurance run on the real chip (VERDICT r3 item 6).
+
+Drives the flagship 1536^2 configuration through the REAL driver
+(``Simulation.run``, storeless O(state) fori_loop path with wall-time
+chunking) for a 6-day horizon (864 DT steps), with a mid-run checkpoint,
+then restarts a fresh Simulation from the checkpoint and verifies the
+resumed trajectory reaches the same end state bit-for-bit.  Records wall
+time, steps/s, device memory stats, the StepMetrics counters, and the
+resume check into one JSON blob (committed as benchmark/endurance_r0N.json
+— the evidence that the flagship config completes a production horizon
+under the production driver, not just a bench loop).
+
+Run:  python benchmark/endurance_run.py [N] [--days D] [out.json]
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from bench import build
+
+
+def device_memory_stats():
+    try:
+        st = jax.local_devices()[0].memory_stats() or {}
+        return {k: int(v) for k, v in st.items()
+                if "bytes" in k and isinstance(v, (int, float))}
+    except Exception:
+        return {}
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    nx = int(args[0]) if args else 1536
+    out_path = args[1] if len(args) > 1 else None
+    days = 6.0
+    for a in sys.argv[1:]:
+        if a.startswith("--days="):
+            days = float(a.split("=", 1)[1])
+
+    if "--cpu" in sys.argv:   # smoke-test mode (sitecustomize pins the
+        jax.config.update("jax_platforms", "cpu")  # tunneled TPU otherwise)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/picles_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from picles_tpu.simulation.simulation import Simulation
+    from picles_tpu.utils.diagnostics import step_summary
+
+    # --cpu smoke mode uses the XLA twins (Mosaic kernels need the chip)
+    kw = (dict(advance_mode="xla") if "--cpu" in sys.argv else {})
+
+    def build_model():
+        return build(nx, nx, **kw)
+
+    model = build_model()
+    horizon = days * 24 * 3600.0
+    half = horizon / 2.0
+    ckdir = tempfile.mkdtemp(prefix="picles_endurance_")
+
+    # ---- leg 1: 0 -> T/2, checkpoint ------------------------------------
+    sim = Simulation.create(model, stop_time=half,
+                            wall_time_limit=20 * 60.0)
+    t0 = time.perf_counter()
+    sim.run()
+    jax.block_until_ready(sim.state.state)
+    t_leg1 = time.perf_counter() - t0
+    steps_leg1 = int(sim.state.iteration)
+    ck = sim.checkpoint(os.path.join(ckdir, "half"))
+
+    # ---- continue uninterrupted to T ------------------------------------
+    sim.stop_time = horizon
+    t0 = time.perf_counter()
+    sim.run()
+    jax.block_until_ready(sim.state.state)
+    t_leg2 = time.perf_counter() - t0
+    final_a = np.asarray(sim.state.state)
+    summary = step_summary(sim.state)
+    mem = device_memory_stats()
+
+    # ---- resume leg: fresh Simulation from the checkpoint ---------------
+    model2 = build_model()
+    sim2 = Simulation.create(model2, stop_time=horizon,
+                             wall_time_limit=20 * 60.0)
+    sim2.pickup(ck)
+    assert int(sim2.state.iteration) == steps_leg1
+    t0 = time.perf_counter()
+    sim2.run()
+    jax.block_until_ready(sim2.state.state)
+    t_resume = time.perf_counter() - t0
+    final_b = np.asarray(sim2.state.state)
+    bit_exact = bool(np.array_equal(final_a, final_b))
+
+    n_steps = int(sim.state.iteration)
+    wall = t_leg1 + t_leg2
+    rec = dict(
+        nx=nx, ny=nx, days=days, n_steps=n_steps,
+        wall_s_total=round(wall, 3),
+        wall_s_leg1=round(t_leg1, 3),
+        wall_s_leg2=round(t_leg2, 3),
+        wall_s_resume_leg=round(t_resume, 3),
+        steps_per_s=round(n_steps / wall, 2),
+        pushes_per_s=round(n_steps * nx * nx / wall, 1),
+        sim_seconds_per_wall_second=round(n_steps * 600.0 / wall, 1),
+        checkpoint_at_step=steps_leg1,
+        resume_bit_exact=bit_exact,
+        final_counters={k: (float(v) if isinstance(v, float) else int(v))
+                        for k, v in summary.items()},
+        device_memory=mem,
+        finite=bool(np.all(np.isfinite(final_a))),
+    )
+    assert bit_exact, "checkpoint resume is not bit-exact!"
+    assert rec["finite"]
+    line = json.dumps(rec)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

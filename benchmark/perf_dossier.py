@@ -27,9 +27,10 @@ HBM_GBPS_PEAK = 819.0
 
 
 def measure(nx, ny, *, solver="bosh3", advance_mode="pallas",
-            dt_reset_mode="carry", reps=3):
+            dt_reset_mode="carry", remesh_mode="xla", reps=3):
     model = build(nx, ny, advance_mode=advance_mode,
-                  dt_reset_mode=dt_reset_mode, solver=solver)
+                  dt_reset_mode=dt_reset_mode, solver=solver,
+                  remesh_mode=remesh_mode)
     ms = model.init_state()
 
     def run_n(c, n):
@@ -76,7 +77,7 @@ def measure(nx, ny, *, solver="bosh3", advance_mode="pallas",
         gbytes = gflops = float("nan")
 
     out = dict(nx=nx, ny=ny, solver=solver, advance=advance_mode,
-               dt_reset=dt_reset_mode,
+               dt_reset=dt_reset_mode, remesh=remesh_mode,
                ms_per_step=s_step * 1e3,
                window_ms=(n_big - n_small) * s_step * 1e3,
                pushes_per_s=nx * ny / s_step,
@@ -111,6 +112,7 @@ def main():
         # backend ablations at the flagship size
         dict(nx=1536, ny=1536, advance_mode="xla"),
         dict(nx=1536, ny=1536, dt_reset_mode="auto"),
+        dict(nx=1536, ny=1536, remesh_mode="fused"),
         # the reference's own 51x51 config (BASELINE: 0.105 s / 2 steps)
         dict(nx=51, ny=51),
     ]

@@ -105,7 +105,7 @@ def check_step_paths():
 
 
 def check_remesh_pallas():
-    print("[3/3] pallas remesh vs XLA remesh (5 steps)")
+    print("[3/4] pallas remesh vs XLA remesh (5 steps)")
     mx = _models(64, 48, advance_mode="pallas", scatter_mode="dense_pallas",
                  dt_reset_mode="carry", remesh_mode="xla")
     mp = _models(64, 48, advance_mode="pallas", scatter_mode="dense_pallas",
@@ -116,11 +116,31 @@ def check_remesh_pallas():
           rtol=1e-5, atol=1e-7)
 
 
+def check_fused_scatter_remesh():
+    print("[4/4] fused gather+remesh kernel vs split phases (5 steps)")
+    for nx, ny in [(64, 48), (127, 61)]:
+        mx = _models(nx, ny, advance_mode="pallas",
+                     scatter_mode="dense_pallas", dt_reset_mode="carry",
+                     remesh_mode="xla")
+        mf = _models(nx, ny, advance_mode="pallas",
+                     scatter_mode="dense_pallas", dt_reset_mode="carry",
+                     remesh_mode="fused")
+        step5 = lambda m: jax.jit(lambda s: jax.lax.fori_loop(
+            0, 5, lambda _, c: m.step(c), s))(m.init_state())
+        sx, sf = step5(mx), step5(mf)
+        check(f"fused scatter+remesh {nx}x{ny}", sf.state, sx.state,
+              rtol=1e-5, atol=1e-7)
+        for k in ("n_gather", "n_reseed", "n_off"):
+            assert int(getattr(sf.metrics, k)) == \
+                int(getattr(sx.metrics, k)), (nx, ny, k)
+
+
 def main():
     print(f"devices: {jax.devices()}")
     check_scatter()
     check_step_paths()
     check_remesh_pallas()
+    check_fused_scatter_remesh()
     print(f"ALL OK ({PASS} checks)")
 
 

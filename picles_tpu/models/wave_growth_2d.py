@@ -79,8 +79,11 @@ class WaveGrowth2DConfig:
     # is still governed by the embedded error controller (a too-large dt is
     # rejected and shrunk), but the steady-state substep count drops ~3-5x.
     dt_reset_mode: str = "auto"   # "auto" | "carry"
-    # remesh backend: "xla" (fused selects) or "pallas" (one VMEM pass;
-    # requires dt_reset_mode="carry" — the auto-dt path needs RHS evals)
+    # remesh backend: "xla" (fused selects), "pallas" (one standalone VMEM
+    # pass), or "fused" (remesh runs inside the CIC gather kernel's output
+    # pass — node planes written once, never read back; single-chip only,
+    # needs the dense_pallas deposit).  "pallas"/"fused" require
+    # dt_reset_mode="carry" (the auto-dt path needs RHS evals).
     remesh_mode: str = "xla"
     # CIC displacement capacity in cells (dense scatter modes): an int H
     # (symmetric) or ((x_lo, x_hi), (y_lo, y_hi)) bounds.  Directional
@@ -431,6 +434,19 @@ class WaveGrowth2D:
         # ---------------- SCATTER ----------------
         scatter_on = (on & active & ~failed) | (on & bsrc)
         e, mx, my = TR.particle_to_node(lne, cgx, cgy)
+        if cfg.remesh_mode == "fused":
+            if cfg.dt_reset_mode != "carry":
+                raise ValueError('remesh_mode="fused" requires '
+                                 'dt_reset_mode="carry"')
+            if scatter_fn is not None:
+                raise ValueError(
+                    'remesh_mode="fused" is single-chip only: the sharded '
+                    "deposit must halo-exchange between accumulate and "
+                    'remesh. Use remesh_mode="xla" under ShardedWaveGrowth2D.')
+            return self._fused_scatter_remesh_tail(
+                ms, grid, active, boundary, lne, cgx, cgy, px, py, t, dt, on,
+                (e, mx, my), scatter_on, adv, failed, nan_mask, inf_mask,
+                emax_mask, relight, res_naccept, psum_axes)
         if scatter_fn is None:
             (e_n, mx_n, my_n), sc_stats = pic.scatter_channels(
                 px, py, (e, mx, my), scatter_on, grid.stats, cfg.halo,
@@ -558,6 +574,73 @@ class WaveGrowth2D:
                             metrics=metrics)
 
     # ------------------------------------------------------------------
+
+    def _fused_scatter_remesh_tail(self, ms, grid, active, boundary,
+                                   lne, cgx, cgy, px, py, t, dt, on,
+                                   charge, scatter_on, adv, failed,
+                                   nan_mask, inf_mask, emax_mask, relight,
+                                   res_naccept, psum_axes):
+        """Fused deposit+remesh step tail (remesh_mode="fused"): the CIC
+        gather's per-tile accumulators feed the remesh branch table in
+        VMEM — node planes are written once, never read back."""
+        from ..ops.pic_pallas import scatter_remesh_fused
+        from ..ops.remesh_pallas import GATHER_BIT, OFF_BIT, RESEED_BIT
+
+        cfg = self.config
+        sett = self.settings
+        u_k, v_k, wind_fields = self._pallas_wind(grid, ms.time)
+        d = self.defaults
+        defaults = None if d is None else (d.lne, d.cg_x, d.cg_y)
+        if self._boundary_differs:
+            bd = self.boundary_defaults
+            bdefaults = None if bd is None else (bd.lne, bd.cg_x, bd.cg_y)
+        else:
+            bdefaults = "same"
+
+        node_state, rm, sc_stats = scatter_remesh_fused(
+            u_k, v_k, defaults, bdefaults, self._boundary_source,
+            float(sett.timestep), self._minimal_e, self._minimal_m2,
+            float(sett.wind_min_squared), float(sett.dtmin),
+            px, py, charge, scatter_on,
+            lne, cgx, cgy, px, py, dt, on, active, boundary,
+            grid.x, grid.y, ms.time, grid.stats, cfg.halo,
+            wind_fields=wind_fields, interpret=cfg.pallas_interpret)
+
+        if psum_axes:
+            def _count(x):
+                return jax.lax.psum(jnp.sum(x).astype(jnp.int32), psum_axes)
+
+            def _maxred(x):
+                return jax.lax.pmax(jnp.max(x).astype(jnp.int32), psum_axes)
+        else:
+            def _count(x):
+                return jnp.sum(x).astype(jnp.int32)
+
+            def _maxred(x):
+                return jnp.max(x).astype(jnp.int32)
+
+        br = rm.branch
+        metrics = StepMetrics(
+            n_active=_count(adv),
+            n_failed=_count(failed),
+            n_nan_reset=_count(nan_mask),
+            n_inf_reset=_count(inf_mask),
+            n_emax_clamp=_count(emax_mask),
+            n_relight=_count(relight),
+            n_gather=_count((br & GATHER_BIT) != 0),
+            n_reseed=_count((br & RESEED_BIT) != 0),
+            n_off=_count((br & OFF_BIT) != 0),
+            n_clamped=jnp.asarray(sc_stats.clamped, jnp.int32),
+            substeps_max=_maxred(res_naccept))
+
+        particles = Particles2D(lne=rm.lne, cgx=rm.cgx, cgy=rm.cgy,
+                                px=rm.px, py=rm.py, t=t, dt=rm.dt, on=rm.on)
+        S = jnp.stack(node_state, axis=-1)
+        DT = jnp.asarray(sett.timestep, cfg.dtype)
+        return ModelState2D(state=S, particles=particles,
+                            time=ms.time + DT,
+                            iteration=ms.iteration + 1,
+                            metrics=metrics)
 
     def _remesh_pallas_tail(self, ms, grid, active, boundary,
                             lne, cgx, cgy, px, py, t, dt, on,

@@ -32,10 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .pic import ScatterStats
 
 
-def _accum_kernel(xl: int, xh: int, yl: int, yh: int,
-                  PADR: int, PADC: int, bp: int, bc: int,
-                  xr_ref, yr_ref, c0_ref, c1_ref, c2_ref,
-                  out0_ref, out1_ref, out2_ref):
+def _gather_accumulate(xl: int, xh: int, yl: int, yh: int,
+                       PADR: int, PADC: int, bp: int, bc: int,
+                       xr, yr, c0, c1, c2):
     # Loop structure chosen for TPU vector-layout cost, not FLOPs: the
     # (2H+1)^2 window is irreducible for an exact CIC gather, but
     # lane-direction (column) rotations are far more expensive than
@@ -46,18 +45,16 @@ def _accum_kernel(xl: int, xh: int, yl: int, yh: int,
     # alignment.  CIC floor/weights are recomputed in VMEM from the two
     # position planes — 4 fewer HBM input streams than shipping
     # (fx, wxf, wxc, fy, wyf, wyc) precomputed.
-    dtype = c0_ref.dtype
-    px = jnp.clip(xr_ref[:], -float(xl), float(xh) - 1e-5)
+    px = jnp.clip(xr, -float(xl), float(xh) - 1e-5)
     fxf = jnp.floor(px)
     fx = fxf.astype(jnp.int32)
     wxc = px - fxf
     wxf = 1.0 - wxc
-    py = jnp.clip(yr_ref[:], -float(yl), float(yh) - 1e-5)
+    py = jnp.clip(yr, -float(yl), float(yh) - 1e-5)
     fyf = jnp.floor(py)
     fy = fyf.astype(jnp.int32)
     wyc = py - fyf
     wyf = 1.0 - wyc
-    c0, c1, c2 = c0_ref[:], c1_ref[:], c2_ref[:]
 
     # per-dx x-weight planes, rows pre-sliced to the output range,
     # full (source-aligned) columns
@@ -68,9 +65,9 @@ def _accum_kernel(xl: int, xh: int, yl: int, yh: int,
         WX.append(jnp.where(sub_fx == dx, wxf[rs:rs + bp, :], 0.0)
                   + jnp.where(sub_fx == dx - 1, wxc[rs:rs + bp, :], 0.0))
 
-    acc0 = jnp.zeros((bp, bc), c0_ref.dtype)
-    acc1 = jnp.zeros((bp, bc), c0_ref.dtype)
-    acc2 = jnp.zeros((bp, bc), c0_ref.dtype)
+    acc0 = jnp.zeros((bp, bc), c0.dtype)
+    acc1 = jnp.zeros((bp, bc), c0.dtype)
+    acc2 = jnp.zeros((bp, bc), c0.dtype)
     for dy in range(-yl, yh + 1):
         wy = (jnp.where(fy == dy, wyf, 0.0)
               + jnp.where(fy == dy - 1, wyc, 0.0))
@@ -88,6 +85,16 @@ def _accum_kernel(xl: int, xh: int, yl: int, yh: int,
         acc0 = acc0 + a0[:, cs:cs + bc]
         acc1 = acc1 + a1[:, cs:cs + bc]
         acc2 = acc2 + a2[:, cs:cs + bc]
+    return acc0, acc1, acc2
+
+
+def _accum_kernel(xl: int, xh: int, yl: int, yh: int,
+                  PADR: int, PADC: int, bp: int, bc: int,
+                  xr_ref, yr_ref, c0_ref, c1_ref, c2_ref,
+                  out0_ref, out1_ref, out2_ref):
+    acc0, acc1, acc2 = _gather_accumulate(
+        xl, xh, yl, yh, PADR, PADC, bp, bc,
+        xr_ref[:], yr_ref[:], c0_ref[:], c1_ref[:], c2_ref[:])
     out0_ref[:] = acc0
     out1_ref[:] = acc1
     out2_ref[:] = acc2
@@ -173,28 +180,33 @@ def scatter_padded_channels_pallas(
             ScatterStats(clamped=clamped))
 
 
-def _best_block_y(ny: int, bp: int, PADR: int, PADC: int) -> int:
+def _best_block_y(ny: int, bp: int, PADR: int, PADC: int,
+                  n_core: int = 3) -> int:
     """Column-block width minimizing HBM bytes under the scoped-VMEM limit.
 
     Every input window pays a fixed 2*PADC=128-lane surcharge per column
     block (fewer/wider blocks amortize it), but a bc that does not divide
-    ny wastes ``ny_pad - ny`` lanes on all 5 inputs and 3 outputs (e.g.
-    full-width-capped bc=1664 at ny=3072 pads to 3328 — 8% waste — while
-    bc=1536 tiles exactly).  Minimize the actual per-plane traffic
-    ``5 * n_blocks * (bc + 2*PADC) + 3 * ny_pad`` over 128-multiples that
-    fit Mosaic's scoped stack (I/O x1.9 for window-sized temporaries,
-    measured 26.58 MB actual vs 14.5 MB I/O-only at 3072^2).
+    ny wastes ``ny_pad - ny`` lanes on all 5 inputs and the core-aligned
+    planes (e.g. full-width-capped bc=1664 at ny=3072 pads to 3328 — 8%
+    waste — while bc=1536 tiles exactly).  Minimize the actual per-plane
+    traffic ``5 * n_blocks * (bc + 2*PADC) + n_core * ny_pad`` over
+    128-multiples that fit Mosaic's scoped stack (I/O x1.9 for
+    window-sized temporaries, measured 26.58 MB actual vs 14.5 MB
+    I/O-only at 3072^2).  ``n_core`` counts the [bp, bc] core-aligned
+    in/out planes (3 for the plain gather; ~22 for the fused
+    gather+remesh kernel).
     """
     budget = 15 * 1024 * 1024
     full = 128 * ((ny + 127) // 128)
 
     def vmem(bc):
-        io = (5 * (bp + 2 * PADR) * (bc + 2 * PADC) + 3 * bp * bc) * 4 * 2
+        io = (5 * (bp + 2 * PADR) * (bc + 2 * PADC)
+              + n_core * bp * bc) * 4 * 2
         return (io * 19) // 10
 
     def traffic(bc):
         nblk = (ny + bc - 1) // bc
-        return 5 * nblk * (bc + 2 * PADC) + 3 * nblk * bc
+        return 5 * nblk * (bc + 2 * PADC) + n_core * nblk * bc
 
     cands = [bc for bc in range(256, full + 1, 128) if vmem(bc) <= budget]
     if not cands:
@@ -234,6 +246,42 @@ def scatter_core_channels_pallas(
     counted in ``ScatterStats.clamped``), so the kernel's wider in-window
     clip never re-clamps a real or ghost particle.
     """
+    ins, clamped, g = _gather_setup(xrel, yrel, charge, active, stats, halo,
+                                    block_x, block_y, 3)
+    nx, ny = g["nx"], g["ny"]
+    bp, bc = g["bp"], g["bc"]
+
+    grid = (g["nx_pad"] // bp, g["ny_pad"] // bc)
+    in_specs = [_window_spec(g) for _ in ins]
+    out_spec = pl.BlockSpec((bp, bc), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((g["nx_pad"], g["ny_pad"]), ins[2].dtype)
+    kernel = functools.partial(_accum_kernel, g["kxl"], g["kxh"], g["kyl"],
+                               g["kyh"], g["PADR"], g["PADC"], bp, bc)
+    o0, o1, o2 = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(f32, f32, f32),
+        interpret=interpret,
+    )(*ins)
+    return ((o0[:nx, :ny], o1[:nx, :ny], o2[:nx, :ny]),
+            ScatterStats(clamped=clamped))
+
+
+def _window_spec(g):
+    bp, bc = g["bp"], g["bc"]
+    win_rows = bp + 2 * g["PADR"]
+    win_cols = bc + 2 * g["PADC"]
+    return pl.BlockSpec((pl.Element(win_rows), pl.Element(win_cols)),
+                        lambda i, j: (i * bp, j * bc),
+                        memory_space=pltpu.VMEM)
+
+
+def _gather_setup(xrel, yrel, charge, active, stats, halo,
+                  block_x: int, block_y: int, n_core: int):
+    """Shared geometry + boundary-extended input planes of the one-pass
+    gather kernels.  Returns (ins, clamped, geom-dict)."""
     from .pic import normalize_halo
     from ..grids.base import Boundary
 
@@ -270,7 +318,7 @@ def scatter_core_channels_pallas(
     bp = max(8, (bp // 8) * 8)
     nx_pad = ((nx + bp - 1) // bp) * bp
     if block_y <= 0:
-        block_y = _best_block_y(ny, bp, PADR, PADC)
+        block_y = _best_block_y(ny, bp, PADR, PADC, n_core)
     bc = min(block_y, 128 * ((ny + 127) // 128))
     ny_pad = ((ny + bc - 1) // bc) * bc
 
@@ -314,26 +362,124 @@ def scatter_core_channels_pallas(
         return P
 
     ins = [build(xr, True), build(yr, True)] + [build(c, False) for c in ch]
+    geom = dict(nx=nx, ny=ny, kxl=kxl, kxh=kxh, kyl=kyl, kyh=kyh,
+                PADR=PADR, PADC=PADC, bp=bp, bc=bc,
+                nx_pad=nx_pad, ny_pad=ny_pad)
+    return ins, clamped, geom
 
-    grid = (nx_pad // bp, ny_pad // bc)
-    win_rows = bp + 2 * PADR
-    win_cols = bc + 2 * PADC
-    in_specs = [pl.BlockSpec((pl.Element(win_rows), pl.Element(win_cols)),
-                             lambda i, j: (i * bp, j * bc),
-                             memory_space=pltpu.VMEM) for _ in ins]
-    out_spec = pl.BlockSpec((bp, bc), lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
-    f32 = jax.ShapeDtypeStruct((nx_pad, ny_pad), chans[0].dtype)
-    kernel = functools.partial(_accum_kernel, kxl, kxh, kyl, kyh,
-                               PADR, PADC, bp, bc)
-    o0, o1, o2 = pl.pallas_call(
-        kernel, grid=grid,
+
+def _accum_remesh_kernel(u_wind, v_wind, defaults, bdefaults,
+                         boundary_source: bool, timestep: float,
+                         minimal_e: float, minimal_m2: float,
+                         wind_min_squared: float, dtmin: float, n_wf: int,
+                         xl, xh, yl, yh, PADR, PADC, bp, bc, *refs):
+    from .remesh_pallas import remesh_core
+
+    (time_ref,) = refs[:1]   # SMEM (1, 1) model clock
+    (xr_ref, yr_ref, c0_ref, c1_ref, c2_ref) = refs[1:6]      # windows
+    (lne_ref, cgx_ref, cgy_ref, px_ref, py_ref, dt_ref,
+     on_ref, act_ref, bnd_ref, xn_ref, yn_ref) = refs[6:17]   # core planes
+    wf = tuple(r[:] for r in refs[17:17 + n_wf])
+    (e_o, mx_o, my_o, lne_o, cgx_o, cgy_o, px_o, py_o, dt_o,
+     on_o, br_o) = refs[17 + n_wf:]
+
+    acc0, acc1, acc2 = _gather_accumulate(
+        xl, xh, yl, yh, PADR, PADC, bp, bc,
+        xr_ref[:], yr_ref[:], c0_ref[:], c1_ref[:], c2_ref[:])
+    e_o[:] = acc0
+    mx_o[:] = acc1
+    my_o[:] = acc2
+
+    outs = remesh_core(
+        u_wind, v_wind, defaults, bdefaults, boundary_source,
+        timestep, minimal_e, minimal_m2, wind_min_squared, dtmin,
+        acc0, acc1, acc2,
+        lne_ref[:], cgx_ref[:], cgy_ref[:], px_ref[:], py_ref[:], dt_ref[:],
+        on_ref[:] != 0, act_ref[:] != 0, bnd_ref[:] != 0,
+        xn_ref[:], yn_ref[:], time_ref[0, 0], wf)
+    for ref, val in zip((lne_o, cgx_o, cgy_o, px_o, py_o, dt_o, on_o, br_o),
+                        outs):
+        ref[:] = val
+
+
+def scatter_remesh_fused(
+        u_wind, v_wind, defaults, bdefaults, boundary_source: bool,
+        timestep: float, minimal_e: float, minimal_m2: float,
+        wind_min_squared: float, dtmin: float,
+        xrel, yrel, charge, scatter_active,
+        lne, cgx, cgy, px, py, dt, on, active, boundary, xn, yn,
+        time_scalar, stats, halo, *,
+        wind_fields: Tuple[jnp.ndarray, ...] = (),
+        block_x: int = 64, block_y: int = 0, interpret: bool = False):
+    """Boundary-folded CIC deposit + remesh state machine in ONE kernel.
+
+    The separate remesh (XLA selects or the standalone kernel) re-reads
+    the 3 freshly written node planes from HBM; here the per-tile
+    accumulators feed the remesh branch table directly from VMEM, so the
+    node state is written once and never read back.  Inputs are the 5
+    boundary-extended gather windows plus 11 core-aligned particle/mask
+    planes; outputs the 3 node planes plus the 8 remesh results.
+
+    Single-chip only: the sharded deposit must halo-exchange BETWEEN the
+    local accumulate and the remesh, which forbids this fusion (the
+    sharded path keeps the split phases).
+
+    Returns ((e, mx, my), RemeshResult, ScatterStats).
+    """
+    from .pallas_util import pad_rows
+    from .remesh_pallas import RemeshResult
+
+    ins5, clamped, g = _gather_setup(xrel, yrel, charge, scatter_active,
+                                     stats, halo, block_x, block_y,
+                                     22 + len(wind_fields))
+    nx, ny = g["nx"], g["ny"]
+    bp, bc = g["bp"], g["bc"]
+    nx_pad, ny_pad = g["nx_pad"], g["ny_pad"]
+
+    def pad2(a, fill=None):
+        a = pad_rows(a, nx_pad, fill=fill)
+        pad_c = ny_pad - a.shape[1]
+        if pad_c:
+            widths = ((0, 0), (0, pad_c))
+            a = (jnp.pad(a, widths, mode="edge") if fill is None
+                 else jnp.pad(a, widths, constant_values=fill))
+        return a
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tarr = jnp.asarray(time_scalar, lne.dtype).reshape(1, 1)
+
+    core = [pad2(a) for a in (lne, cgx, cgy, px, py, dt)]
+    core += [pad2(a.astype(jnp.int32), fill=0)
+             for a in (on, active, boundary)]
+    core += [pad2(a) for a in (xn, yn)]
+    core += [pad2(jnp.broadcast_to(jnp.asarray(f, lne.dtype), lne.shape))
+             for f in wind_fields]
+
+    core_spec = pl.BlockSpec((bp, bc), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    in_specs = ([smem] + [_window_spec(g) for _ in ins5]
+                + [core_spec for _ in core])
+    f32 = jax.ShapeDtypeStruct((nx_pad, ny_pad), lne.dtype)
+    i32 = jax.ShapeDtypeStruct((nx_pad, ny_pad), jnp.int32)
+    out_shape = (f32, f32, f32, f32, f32, f32, f32, f32, f32, i32, i32)
+
+    kernel = functools.partial(
+        _accum_remesh_kernel, u_wind, v_wind, defaults, bdefaults,
+        boundary_source, timestep, minimal_e, minimal_m2, wind_min_squared,
+        dtmin, len(wind_fields),
+        g["kxl"], g["kxh"], g["kyl"], g["kyh"], g["PADR"], g["PADC"], bp, bc)
+    outs = pl.pallas_call(
+        kernel, grid=(nx_pad // bp, ny_pad // bc),
         in_specs=in_specs,
-        out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(f32, f32, f32),
+        out_specs=tuple(core_spec for _ in out_shape),
+        out_shape=out_shape,
         interpret=interpret,
-    )(*ins)
-    return ((o0[:nx, :ny], o1[:nx, :ny], o2[:nx, :ny]),
+    )(tarr, *ins5, *core)
+    (e_n, mx_n, my_n, lne_o, cgx_o, cgy_o, px_o, py_o, dt_o, on_o,
+     br) = (o[:nx, :ny] for o in outs)
+    return ((e_n, mx_n, my_n),
+            RemeshResult(lne=lne_o, cgx=cgx_o, cgy=cgy_o, px=px_o, py=py_o,
+                         dt=dt_o, on=on_o != 0, branch=br),
             ScatterStats(clamped=clamped))
 
 

@@ -47,27 +47,15 @@ class RemeshResult(NamedTuple):
     branch: jnp.ndarray    # int32 bitfield (GATHER/RESEED/OFF bits)
 
 
-def _remesh_kernel(u_wind: Callable, v_wind: Callable, defaults, bdefaults,
-                   boundary_source: bool,
-                   timestep: float, minimal_e: float, minimal_m2: float,
-                   wind_min_squared: float, dtmin: float, n_wf: int,
-                   *refs):
-    (time_ref,) = refs[:1]  # SMEM (1, 1) model clock
-    (e_ref, mx_ref, my_ref, lne_ref, cgx_ref, cgy_ref, px_ref, py_ref,
-     dt_ref, on_ref, act_ref, bnd_ref, xn_ref, yn_ref) = refs[1:15]
-    wf = tuple(r[:] for r in refs[15:15 + n_wf])
-    (lne_o, cgx_o, cgy_o, px_o, py_o, dt_o, on_o, br_o) = refs[15 + n_wf:]
-
-    e_n, mx_n, my_n = e_ref[:], mx_ref[:], my_ref[:]
-    lne, cgx, cgy = lne_ref[:], cgx_ref[:], cgy_ref[:]
-    px, py = px_ref[:], py_ref[:]
-    dt = dt_ref[:]
-    on = on_ref[:] != 0
-    active = act_ref[:] != 0
-    boundary = bnd_ref[:] != 0
-    xn, yn = xn_ref[:], yn_ref[:]
-    t_i = time_ref[0, 0]
-
+def remesh_core(u_wind: Callable, v_wind: Callable, defaults, bdefaults,
+                boundary_source: bool,
+                timestep: float, minimal_e: float, minimal_m2: float,
+                wind_min_squared: float, dtmin: float,
+                e_n, mx_n, my_n, lne, cgx, cgy, px, py, dt,
+                on, active, boundary, xn, yn, t_i, wf):
+    """The remesh branch table on plain arrays (usable inside any Pallas
+    kernel as well as the standalone one below).  ``on/active/boundary``
+    are bool arrays; returns (lne, cgx, cgy, px, py, dt, on_i32, branch)."""
     u_i = u_wind(xn, yn, t_i, *wf)
     v_i = v_wind(xn, yn, t_i, *wf)
     u_i = jnp.broadcast_to(jnp.asarray(u_i, lne.dtype), lne.shape)
@@ -107,20 +95,43 @@ def _remesh_kernel(u_wind: Callable, v_wind: Callable, defaults, bdefaults,
         cgx_s = jnp.where(boundary, cgx_b, cgx_s)
         cgy_s = jnp.where(boundary, cgy_b, cgy_s)
 
-    lne_o[:] = jnp.where(gather, lne_g, jnp.where(reseed, lne_s, lne))
-    cgx_o[:] = jnp.where(gather, cgx_g, jnp.where(reseed, cgx_s, cgx))
-    cgy_o[:] = jnp.where(gather, cgy_g, jnp.where(reseed, cgy_s, cgy))
+    lne_r = jnp.where(gather, lne_g, jnp.where(reseed, lne_s, lne))
+    cgx_r = jnp.where(gather, cgx_g, jnp.where(reseed, cgx_s, cgx))
+    cgy_r = jnp.where(gather, cgy_g, jnp.where(reseed, cgy_s, cgy))
     moved = gather | reseed
-    px_o[:] = jnp.where(moved, 0.0, px)
-    py_o[:] = jnp.where(moved, 0.0, py)
+    px_r = jnp.where(moved, 0.0, px)
+    py_r = jnp.where(moved, 0.0, py)
     # warm-restart dt (dt_reset_mode="carry")
-    dt_o[:] = jnp.clip(dt, dtmin, timestep)
+    dt_r = jnp.clip(dt, dtmin, timestep)
     # Mosaic cannot select between i1 vectors: do it in i32
-    on_o[:] = jnp.where(part, moved.astype(jnp.int32),
-                        on.astype(jnp.int32))
-    br_o[:] = (jnp.where(gather, GATHER_BIT, 0)
-               + jnp.where(reseed, RESEED_BIT, 0)
-               + jnp.where(go_off, OFF_BIT, 0)).astype(jnp.int32)
+    on_r = jnp.where(part, moved.astype(jnp.int32), on.astype(jnp.int32))
+    br = (jnp.where(gather, GATHER_BIT, 0)
+          + jnp.where(reseed, RESEED_BIT, 0)
+          + jnp.where(go_off, OFF_BIT, 0)).astype(jnp.int32)
+    return lne_r, cgx_r, cgy_r, px_r, py_r, dt_r, on_r, br
+
+
+def _remesh_kernel(u_wind: Callable, v_wind: Callable, defaults, bdefaults,
+                   boundary_source: bool,
+                   timestep: float, minimal_e: float, minimal_m2: float,
+                   wind_min_squared: float, dtmin: float, n_wf: int,
+                   *refs):
+    (time_ref,) = refs[:1]  # SMEM (1, 1) model clock
+    (e_ref, mx_ref, my_ref, lne_ref, cgx_ref, cgy_ref, px_ref, py_ref,
+     dt_ref, on_ref, act_ref, bnd_ref, xn_ref, yn_ref) = refs[1:15]
+    wf = tuple(r[:] for r in refs[15:15 + n_wf])
+    (lne_o, cgx_o, cgy_o, px_o, py_o, dt_o, on_o, br_o) = refs[15 + n_wf:]
+
+    outs = remesh_core(
+        u_wind, v_wind, defaults, bdefaults, boundary_source,
+        timestep, minimal_e, minimal_m2, wind_min_squared, dtmin,
+        e_ref[:], mx_ref[:], my_ref[:],
+        lne_ref[:], cgx_ref[:], cgy_ref[:], px_ref[:], py_ref[:], dt_ref[:],
+        on_ref[:] != 0, act_ref[:] != 0, bnd_ref[:] != 0,
+        xn_ref[:], yn_ref[:], time_ref[0, 0], wf)
+    for ref, val in zip((lne_o, cgx_o, cgy_o, px_o, py_o, dt_o, on_o, br_o),
+                        outs):
+        ref[:] = val
 
 
 def remesh_pallas(u_wind: Callable, v_wind: Callable,
