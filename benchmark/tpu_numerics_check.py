@@ -116,6 +116,49 @@ def check_remesh_pallas():
           rtol=1e-5, atol=1e-7)
 
 
+def check_gridded_winds_pwl():
+    print("[5/5] gridded winds via exact PWL fields (frame-straddling)")
+    import numpy as np
+
+    from picles_tpu.forcing.winds import GriddedWinds2D
+
+    nxw = nyw = 10
+    rng = np.random.default_rng(7)
+    base = rng.uniform(6.0, 14.0, (30, 1, 1))
+    u = (base + rng.standard_normal((30, nxw, nyw))).astype(np.float32)
+    v = (0.5 * base + rng.standard_normal((30, nxw, nyw))).astype(np.float32)
+    # 900 s cadence vs DT=600 s: every other window straddles a frame
+    gw = GriddedWinds2D(u_data=jnp.asarray(u), v_data=jnp.asarray(v),
+                        x0=0.0, dx=2e3 * 63 / (nxw - 1), y0=0.0,
+                        dy=2e3 * 47 / (nyw - 1), t0=0.0, dt=900.0)
+
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True, solver="bosh3")
+    grid = cartesian_box(2e3 * 63, 64, 2e3 * 47, 48,
+                         periodic_boundary=(True, True))
+    mk = lambda **c: WaveGrowth2D(grid, gw.as_winds(), sett,
+                                  config=WaveGrowth2DConfig(
+                                      periodic_boundary=True, **c))
+    mx = mk(advance_mode="xla", scatter_mode="dense", dt_reset_mode="carry")
+    mp = mk(advance_mode="pallas", scatter_mode="dense_pallas",
+            dt_reset_mode="carry")
+    assert mp._wind_B == 1
+    step4 = lambda m: jax.jit(lambda s: jax.lax.fori_loop(
+        0, 4, lambda _, c: m.step(c), s))(m.init_state())
+    sx, sp = step4(mx), step4(mp)
+    # rtol matches the CPU twin (test_pallas_advance_gridded_winds_frame_
+    # straddle): spatially-varying winds make more lanes sit near
+    # accept/reject boundaries, so 4 adaptive steps across backends carry
+    # controller noise (~3e-3 max observed).  The PWL fields' exactness
+    # itself is pinned at 1e-5 by the dense-query field tests; this check
+    # is the Mosaic-lowering sanity for the breakpoint sampler.
+    check("gridded PWL winds 64x48 (4 steps, straddling)", sp.state,
+          sx.state, rtol=1e-2, atol=1e-6)
+
+
 def check_fused_scatter_remesh():
     print("[4/4] fused gather+remesh kernel vs split phases (5 steps)")
     for nx, ny in [(64, 48), (127, 61)]:
@@ -141,6 +184,7 @@ def main():
     check_step_paths()
     check_remesh_pallas()
     check_fused_scatter_remesh()
+    check_gridded_winds_pwl()
     print(f"ALL OK ({PASS} checks)")
 
 

@@ -309,18 +309,38 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
     (pass ``()``); gridded winds pass their exact piecewise-linear
     decomposition (see forcing.winds.GriddedWinds2D.pallas_pwl_fields).
     """
-    from .pallas_util import auto_block_x, pad_rows, row_block
+    from .pallas_util import (auto_block_x, col_block, pad_cols, pad_rows,
+                              row_block)
 
     nx, ny = t.shape
+    ny_lanes = ((ny + 127) // 128) * 128
+    # very wide grids (auto mode): full-width row blocks would shrink
+    # below ~16 rows and lose sublane efficiency (measured +12% at
+    # 3072^2) — tile columns too, keeping ~24-row blocks.
+    bc = col_block(ny, 93) if block_x <= 0 else ny_lanes
+    two_d = bc < ny_lanes
     if block_x <= 0:
-        block_x = auto_block_x(ny, 93)  # measured Mosaic stack footprint
+        block_x = auto_block_x(bc if two_d else ny, 93)
     # 8-aligned block + row padding: any nx (incl. primes) tiles cleanly
     bx, nx_pad = row_block(nx, block_x)
-    grid = (nx_pad // bx,)
+    if two_d:
+        ny_pad = ((ny + bc - 1) // bc) * bc
+        grid = (nx_pad // bx, ny_pad // bc)
 
-    def spec():
-        return pl.BlockSpec((bx, ny), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+        def spec():
+            return pl.BlockSpec((bx, bc), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+    else:
+        ny_pad = ny
+        grid = (nx_pad // bx,)
+
+        def spec():
+            return pl.BlockSpec((bx, ny), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+    def pad(a, fill=None):
+        a = pad_rows(a, nx_pad, fill=fill)
+        return pad_cols(a, ny_pad, fill=fill) if two_d else a
 
     # tuple proj = (m00, m01, m10, m11, pc) python floats for spatially
     # uniform grids: 5 fewer HBM input streams
@@ -330,20 +350,17 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
     comps = z if isinstance(z, tuple) else tuple(z[..., i] for i in range(5))
     # padded lanes are inactive (mask fill 0) -> done at iteration 0;
     # state/coords replicate the edge row so their RHS stays finite
-    ins = [*comps, t, dt]
-    ins = [pad_rows(a, nx_pad) for a in ins]
-    ins += [pad_rows(active.astype(jnp.int32), nx_pad, fill=0),
-            pad_rows(xn, nx_pad), pad_rows(yn, nx_pad)]
-    ins += [pad_rows(jnp.broadcast_to(jnp.asarray(f, t.dtype), t.shape),
-                     nx_pad)
+    ins = [pad(a) for a in (*comps, t, dt)]
+    ins += [pad(active.astype(jnp.int32), fill=0), pad(xn), pad(yn)]
+    ins += [pad(jnp.broadcast_to(jnp.asarray(f, t.dtype), t.shape))
             for f in wind_fields]
     if uniform is None:
-        ins += [pad_rows(a, nx_pad)
+        ins += [pad(a)
                 for a in (proj[..., 0, 0], proj[..., 0, 1], proj[..., 1, 0],
                           proj[..., 1, 1], pc)]
 
-    f32 = jax.ShapeDtypeStruct((nx_pad, ny), t.dtype)
-    i32 = jax.ShapeDtypeStruct((nx_pad, ny), jnp.int32)
+    f32 = jax.ShapeDtypeStruct((nx_pad, ny_pad), t.dtype)
+    i32 = jax.ShapeDtypeStruct((nx_pad, ny_pad), jnp.int32)
     out_shape = (f32, f32, f32, f32, f32, f32, f32, i32, i32)
 
     kernel = functools.partial(_advance_kernel, u_wind, v_wind, consts,
@@ -357,6 +374,6 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
         interpret=interpret,
     )(*ins)
     (lne, cgx, cgy, px, py, t_o, dt_o, fail, nacc) = (
-        o[:nx] for o in outs)
+        o[:nx, :ny] for o in outs)
     return PallasAdvanceResult(lne=lne, cgx=cgx, cgy=cgy, x=px, y=py, t=t_o,
                                dt=dt_o, failed=fail != 0, naccept=nacc)

@@ -58,6 +58,28 @@ def auto_block_x(ny: int, n_buffers: int, *, dtype_bytes: int = 4,
     return bx
 
 
+def col_block(ny: int, n_buffers: int, *, dtype_bytes: int = 4,
+              vmem_budget: int = 14 * 1024 * 1024,
+              target_bx: int = 24) -> int:
+    """Column-block width for very wide grids.
+
+    Full-width row tiling is the measured-fastest layout wherever it fits
+    (2D [24, 1536] tiles at 3072^2 were ~3% SLOWER than the 8-row
+    full-width blocks — the sublane penalty is smaller than the 2D grid
+    iteration cost).  Column tiling therefore engages ONLY where even the
+    minimum 8-row full-width block would blow the 16 MB scoped-VMEM hard
+    limit (ny >= ~5300 at 93 buffers) — the case that previously raised a
+    ValueError.  Returns ny's full lane width when 1D tiling fits (caller
+    keeps it), else a 128-aligned width giving ``target_bx`` rows."""
+    ny_lanes = ((ny + 127) // 128) * 128
+    per_lane = n_buffers * dtype_bytes
+    hard_limit = 16 * 1024 * 1024
+    if 8 * ny_lanes * per_lane <= hard_limit:
+        return ny_lanes
+    bc = (vmem_budget // (target_bx * per_lane) // 128) * 128
+    return max(128, bc)
+
+
 def pad_rows(arr: jnp.ndarray, nx_pad: int, fill=None) -> jnp.ndarray:
     """Pad the leading axis to ``nx_pad`` rows.
 
@@ -69,6 +91,17 @@ def pad_rows(arr: jnp.ndarray, nx_pad: int, fill=None) -> jnp.ndarray:
     if pad <= 0:
         return arr
     widths = ((0, pad),) + ((0, 0),) * (arr.ndim - 1)
+    if fill is None:
+        return jnp.pad(arr, widths, mode="edge")
+    return jnp.pad(arr, widths, constant_values=fill)
+
+
+def pad_cols(arr: jnp.ndarray, ny_pad: int, fill=None) -> jnp.ndarray:
+    """Pad the second axis to ``ny_pad`` columns (see ``pad_rows``)."""
+    pad = ny_pad - arr.shape[1]
+    if pad <= 0:
+        return arr
+    widths = ((0, 0), (0, pad)) + ((0, 0),) * (arr.ndim - 2)
     if fill is None:
         return jnp.pad(arr, widths, mode="edge")
     return jnp.pad(arr, widths, constant_values=fill)

@@ -428,3 +428,34 @@ def test_auto_block_x_respects_scoped_vmem_limit():
             assert bx % 8 == 0
     # the production 1536^2 bench config keeps its proven 24-row block
     assert row_block(1536, auto_block_x(1536, 93))[0] == 24
+
+
+def test_pallas_advance_wide_grid_column_tiling():
+    """Grids too wide for even an 8-row full-width block (ny >= ~5300 at
+    the advance kernel's 93-buffer stack) switch to 2D column tiling
+    instead of raising — the 2D-tiled kernel must match the XLA
+    integrator exactly like the 1D one."""
+    from picles_tpu.ops.pallas_util import col_block
+
+    ny = 6016
+    assert col_block(ny, 93) < ((ny + 127) // 128) * 128  # 2D path engaged
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(30e3, 16, 2e3 * (ny - 1), ny,
+                         periodic_boundary=(True, True))
+    mx = WaveGrowth2D(grid, constant_winds(10.0, 5.0), sett,
+                      config=WaveGrowth2DConfig(periodic_boundary=True,
+                                                advance_mode="xla"))
+    mp = WaveGrowth2D(grid, constant_winds(10.0, 5.0), sett,
+                      config=WaveGrowth2DConfig(periodic_boundary=True,
+                                                advance_mode="pallas",
+                                                pallas_interpret=True))
+    sx, sp = mx.init_state(), mp.init_state()
+    sx, sp = mx.step(sx), mp.step(sp)
+    np.testing.assert_allclose(np.asarray(sp.state), np.asarray(sx.state),
+                               rtol=5e-3, atol=1e-8)
+    assert int(sp.metrics.n_failed) == 0
+    assert int(sp.metrics.n_gather) == int(sx.metrics.n_gather)

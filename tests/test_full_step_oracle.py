@@ -157,7 +157,14 @@ class Oracle:
     """
 
     def __init__(self, nx, ny, Lx, Ly, periodic, u_func, v_func, DT, *,
-                 X=None, Y=None, M=None, pc=0.0, bx=None, by=None):
+                 X=None, Y=None, M=None, pc=0.0, bx=None, by=None,
+                 boundary_source=False):
+        # boundary_source: the open-boundary inflow condition
+        # (boundary_type="wind_sea"): boundary-flagged nodes never advance,
+        # scatter their held state, and reseed from the local windsea every
+        # remesh (the reference's intended-but-dead wiring,
+        # WaveGrowthModels2D.jl:273-292 + mapping_2D.jl:338-345)
+        self.boundary_source = boundary_source
         self.nx, self.ny = nx, ny
         if bx is None:
             bx = "periodic" if periodic else "nonperiodic"
@@ -250,10 +257,15 @@ class Oracle:
                     z[i, j, 0] = LOG_E_MAX
 
         # --- scatter (ParticleInCell.jl:341-376) ---
+        if self.periodic:
+            bnd = mask == 2
+        else:
+            bnd = mask >= 2
         S = np.zeros((nx, ny, 3))
         for i in range(nx):
             for j in range(ny):
-                if not (on[i, j] and active[i, j]):
+                part = active[i, j] or (self.boundary_source and bnd[i, j])
+                if not (on[i, j] and part):
                     continue
                 lne, cx, cy, px, py = z[i, j]
                 E = math.exp(lne)
@@ -291,10 +303,10 @@ class Oracle:
         # --- remesh (mapping_2D.jl:306-353), winds at pre-tick clock ---
         for i in range(nx):
             for j in range(ny):
-                if not active[i, j]:
+                boundary = bnd[i, j]
+                if not (active[i, j]
+                        or (self.boundary_source and boundary)):
                     continue
-                boundary = (mask[i, j] == 2 if self.periodic
-                            else mask[i, j] >= 2)
                 E, mx, my = S[i, j]
                 u = self.u_func(self.X[i, j], self.Y[i, j], t0)
                 v = self.v_func(self.X[i, j], self.Y[i, j], t0)
@@ -598,3 +610,69 @@ def test_full_step_matches_f64_oracle_tripolar_seam():
     # with northward cg deposits (weight py) across the seam each step
     assert orc.n_folds > 0, \
         "no seam-crossing deposits — test configuration regressed"
+
+
+def test_full_step_matches_f64_oracle_open_boundary_inflow():
+    """boundary_type="wind_sea" (open-boundary inflow): boundary nodes
+    never integrate, reseed from the local windsea every remesh, and
+    scatter that state inward.  The reference intended this but left the
+    wiring dead (WaveGrowthModels2D.jl:273-292, mapping_2D.jl:338-345);
+    here it is live — so anchor it against the independent oracle too."""
+    import jax
+    import jax.numpy as jnp
+
+    from picles_tpu.core import fetch_relations as FR
+    from picles_tpu.core.constants import ODESettings
+    from picles_tpu.forcing.winds import Winds2D
+    from picles_tpu.grids.cartesian import cartesian_box
+    from picles_tpu.models.wave_growth_2d import (WaveGrowth2D,
+                                                  WaveGrowth2DConfig)
+
+    nx = ny = 6
+    Lx = Ly = 100e3
+    DT = 600.0
+    U, V = 10.0, 5.0
+
+    def u_o(x, y, t):
+        return U
+
+    def v_o(x, y, t):
+        return V
+
+    winds = Winds2D(
+        u=lambda x, y, t: jnp.full_like(jnp.asarray(x, jnp.float32), U),
+        v=lambda x, y, t: jnp.full_like(jnp.asarray(x, jnp.float32), V))
+
+    orc = Oracle(nx, ny, Lx, Ly, False, u_o, v_o, DT, boundary_source=True)
+    ocean = np.ones((nx, ny), bool)
+    z, on, S0, mask, active = orc.seed(ocean)
+    t = 0.0
+    states = []
+    for _ in range(3):
+        z, on, S = orc.step(z, on, t, mask, active)
+        t += DT
+        states.append(S.copy())
+    # the inflow must actually act: boundary-adjacent interior nodes
+    # receive deposits from the ring (the ring itself is never gathered)
+    assert states[-1][1, 1, 0] > 0
+
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True,
+                       abstol=1e-7, reltol=1e-6)
+    grid = cartesian_box(Lx, nx, Ly, ny, periodic_boundary=(False, False))
+    model = WaveGrowth2D(grid, winds, sett,
+                         config=WaveGrowth2DConfig(
+                             periodic_boundary=False,
+                             boundary_type="wind_sea"))
+    assert model._boundary_source
+    np.testing.assert_array_equal(np.asarray(model.grid.mask), mask)
+    ms = model.init_state()
+    step = jax.jit(model.step)
+    for k in range(3):
+        ms = step(ms)
+        np.testing.assert_allclose(np.asarray(ms.state), states[k],
+                                   rtol=1e-4, atol=1e-9,
+                                   err_msg=f"inflow step {k + 1}")
+    np.testing.assert_array_equal(np.asarray(ms.particles.on), on)

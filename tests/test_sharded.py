@@ -380,3 +380,32 @@ def test_sharded_gridded_winds_fixed_substep_f64():
         for k in ("n_active", "n_gather", "n_reseed", "n_off", "n_failed"):
             assert int(getattr(msh.metrics, k)) == int(
                 getattr(ref.metrics, k)), k
+
+
+def test_sharded_spherical_grid_matches_single_device():
+    """Per-node projection matrices + great-circle coefficients (spherical
+    grid) shard along (x, y): the step's RHSParams gather shard-local
+    proj/pc slices, and the deposit uses the non-periodic-y drop.  Fixed
+    substeps keep the comparison at f32-ulp level."""
+    from picles_tpu.grids.spherical import spherical_grid_2d
+
+    grid = spherical_grid_2d(0.0, 40.0, 32, 30.0, 60.0, 24,
+                             periodic_boundary=(True, False))
+    model = WaveGrowth2D(grid, constant_winds(10.0, 5.0),
+                         _settings_fixed(sub=60.0),
+                         config=WaveGrowth2DConfig(periodic_boundary=False))
+    assert model.uniform_proj is None   # streamed per-node proj/pc
+    mesh = make_mesh(shape=(4, 2))
+    sharded = ShardedWaveGrowth2D(model, mesh)
+
+    ms0 = model.init_state()
+    ref = ms0
+    step_ref = jax.jit(model.step)
+    msh = sharded.shard_state(ms0)
+    for _ in range(3):
+        ref = step_ref(ref)
+        msh = sharded.step(msh)
+    np.testing.assert_allclose(np.asarray(msh.state), np.asarray(ref.state),
+                               rtol=2e-6, atol=1e-9)
+    for k in ("n_active", "n_gather", "n_failed"):
+        assert int(getattr(msh.metrics, k)) == int(getattr(ref.metrics, k)), k
