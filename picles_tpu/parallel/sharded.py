@@ -230,6 +230,27 @@ class ShardedWaveGrowth2D:
 
         return jax.lax.scan(body, ms, None, length=n)
 
+    # -- Simulation-driver surface (Simulation.run works sharded) -------
+
+    @property
+    def settings(self):
+        return self.model.settings
+
+    @property
+    def grid(self):
+        return self.model.grid
+
+    def init_state(self) -> ModelState2D:
+        """Seed on host semantics, then place with the step's shardings."""
+        ms = (self.model.init_state_layers() if self.layers > 1
+              else self.model.init_state())
+        return self.shard_state(ms)
+
+    def step_n_quiet(self, ms: ModelState2D, n) -> ModelState2D:
+        """n sharded steps with no per-step output (the storeless
+        Simulation.run path); ``n`` is a traced scalar."""
+        return jax.lax.fori_loop(0, n, lambda _, s: self._step(s), ms)
+
     # ------------------------------------------------------------------
 
     def shard_state(self, ms: ModelState2D) -> ModelState2D:

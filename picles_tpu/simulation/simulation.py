@@ -23,7 +23,15 @@ from .store import CashStore, EmptyStore, StateStore
 
 @dataclasses.dataclass
 class Simulation:
-    """Driver state (reference simulation.jl:12-99)."""
+    """Driver state (reference simulation.jl:12-99).
+
+    ``callbacks``: name -> callable(sim), invoked after every device
+    dispatch (chunk) — the reference DECLARES ``diagnostics`` /
+    ``callbacks`` OrderedDicts but never runs them (simulation.jl:63-75,
+    commented-out NaNChecker); here they are live.  A callback that
+    raises stops the run (e.g. ``picles_tpu.utils.diagnostics.check_nans``
+    on ``sim.state`` is the working NaNChecker).
+    """
 
     model: object
     dt: float
@@ -35,6 +43,7 @@ class Simulation:
     initialized: bool = False
     run_wall_time: float = 0.0
     running: bool = False
+    callbacks: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def create(cls, model, stop_time: float, verbose: bool = False,
@@ -130,12 +139,13 @@ class Simulation:
                 print("stop_time exceeded, run not executed")
             return
 
+        # a finite wall_time_limit (and any callbacks) need the between-
+        # chunk hooks to actually run, so never default to one
+        # all-remaining dispatch then (reference checks wall time once per
+        # step, run.jl:117-121)
+        needs_chunks = self.wall_time_limit != float("inf") or self.callbacks
         if use_store:
-            # a finite wall_time_limit needs the limit check to run between
-            # chunks, so never default to one all-remaining dispatch then
-            # (reference checks wall time once per step, run.jl:117-121)
-            chunk = chunk_size or (64 if self.wall_time_limit != float("inf")
-                                   else remaining)
+            chunk = chunk_size or (64 if needs_chunks else remaining)
             done = 0
             while done < remaining:
                 n = min(chunk, remaining - done)
@@ -149,14 +159,15 @@ class Simulation:
                 if self.verbose:
                     print(f"t = {float(self.state.time):.0f} s "
                           f"({done}/{remaining} steps)")
+                for cb in self.callbacks.values():
+                    cb(self)
                 if _time.time() - t_wall > self.wall_time_limit:
                     print("wall time limit reached")
                     break
         else:
             # step_n_quiet takes the trip count as a traced scalar: every
             # chunk length reuses one compilation.
-            chunk = chunk_size or (64 if self.wall_time_limit != float("inf")
-                                   else remaining)
+            chunk = chunk_size or (64 if needs_chunks else remaining)
             done = 0
             while done < remaining:
                 n = min(chunk, remaining - done)
@@ -166,6 +177,8 @@ class Simulation:
                 if self.verbose:
                     print(f"t = {float(self.state.time):.0f} s "
                           f"({done}/{remaining} steps)")
+                for cb in self.callbacks.values():
+                    cb(self)
                 if _time.time() - t_wall > self.wall_time_limit:
                     print("wall time limit reached")
                     break

@@ -167,3 +167,44 @@ def test_wall_time_limit_halts_stored_run_early():
     arr = sim.store.as_array()
     assert np.all(np.isfinite(arr))
     assert int(sim.state.iteration) == n_stored - 1
+
+
+def test_callbacks_run_per_chunk_and_nan_checker_halts():
+    """Simulation.callbacks are LIVE (the reference declares diagnostics/
+    callbacks OrderedDicts but never invokes them, simulation.jl:63-75):
+    called after every chunk, and a raising callback (the NaNChecker the
+    reference left commented out) stops the run."""
+    import jax.numpy as jnp
+    import pytest
+
+    from picles_tpu.utils.diagnostics import check_nans
+
+    sim = _sim(stop_time=3600.0)   # 7 steps
+    calls = []
+    sim.callbacks["count"] = lambda s: calls.append(float(s.state.time))
+    sim.run(chunk_size=2)
+    assert len(calls) == 4         # ceil(7 / 2) chunks
+    assert calls == sorted(calls)  # monotone clock at each invocation
+
+    # storeless default chunking must still fire callbacks (no infinite
+    # single dispatch when callbacks are attached)
+    sim2 = _sim(stop_time=3600.0)
+    n2 = []
+    sim2.callbacks["count"] = lambda s: n2.append(1)
+    sim2.run()
+    assert len(n2) >= 1
+
+    # NaNChecker: poison the state mid-run via a callback that injects a
+    # NaN, then assert the checker raises on the next chunk
+    import dataclasses as dc
+
+    sim3 = _sim(stop_time=3600.0)
+
+    def poison_then_check(s):
+        s.state = dc.replace(s.state,
+                             state=s.state.state.at[0, 0, 0].set(jnp.nan))
+        check_nans(s.state)
+
+    sim3.callbacks["nan_check"] = poison_then_check
+    with pytest.raises(FloatingPointError):
+        sim3.run(chunk_size=2)
