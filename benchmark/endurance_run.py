@@ -38,8 +38,12 @@ def device_memory_stats():
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    nx = int(args[0]) if args else 1536
-    out_path = args[1] if len(args) > 1 else None
+    nx, out_path = 1536, None
+    for a in args:
+        if a.isdigit():
+            nx = int(a)
+        else:
+            out_path = a
     days = 6.0
     for a in sys.argv[1:]:
         if a.startswith("--days="):
@@ -59,8 +63,42 @@ def main():
     # --cpu smoke mode uses the XLA twins (Mosaic kernels need the chip)
     kw = (dict(advance_mode="xla") if "--cpu" in sys.argv else {})
 
-    def build_model():
-        return build(nx, nx, **kw)
+    if "--global" in sys.argv:
+        # ~1 deg global tripolar config (land + pole masks + seam + zonal
+        # jet — the reference's actual production use case, T03 analog)
+        import jax.numpy as jnp
+
+        import picles_tpu as pt
+        from tripolar_global_demo import build_grid
+
+        DTg = 1200.0
+        grid = build_grid()
+
+        def u(x, y, t):
+            y = jnp.asarray(y)
+            return (12.0 * jnp.exp(-(((y - 40.0) / 18.0) ** 2))
+                    + 9.0 * jnp.exp(-(((y + 45.0) / 15.0) ** 2)))
+
+        def v(x, y, t):
+            return jnp.zeros_like(jnp.asarray(x))
+
+        ws = pt.FetchRelations.MinimalWindsea(10.0, 10.0, DTg)
+        sett = pt.ODESettings(log_energy_minimum=float(ws.lne),
+                              saving_step=DTg, timestep=DTg,
+                              total_time=days * 24 * 3600.0, dt=1e-3,
+                              dtmin=1e-4, force_dtmin=True)
+        cfgkw = dict(periodic_boundary=True, dt_reset_mode="carry")
+        if "--cpu" in sys.argv:
+            cfgkw["advance_mode"] = "xla"
+        else:
+            cfgkw.update(advance_mode="pallas", scatter_mode="dense_pallas")
+
+        def build_model():
+            return pt.WaveGrowth2D(grid, pt.Winds2D(u=u, v=v), sett,
+                                   config=pt.WaveGrowth2DConfig(**cfgkw))
+    else:
+        def build_model():
+            return build(nx, nx, **kw)
 
     model = build_model()
     horizon = days * 24 * 3600.0
@@ -102,15 +140,19 @@ def main():
 
     n_steps = int(sim.state.iteration)
     wall = t_leg1 + t_leg2
+    g = model.grid
+    n_nodes = g.stats.nx * g.stats.ny
+    DT_used = float(model.settings.timestep)
     rec = dict(
-        nx=nx, ny=nx, days=days, n_steps=n_steps,
+        grid=f"{g.stats.nx}x{g.stats.ny}-{g.stats.kind}",
+        days=days, n_steps=n_steps,
         wall_s_total=round(wall, 3),
         wall_s_leg1=round(t_leg1, 3),
         wall_s_leg2=round(t_leg2, 3),
         wall_s_resume_leg=round(t_resume, 3),
         steps_per_s=round(n_steps / wall, 2),
-        pushes_per_s=round(n_steps * nx * nx / wall, 1),
-        sim_seconds_per_wall_second=round(n_steps * 600.0 / wall, 1),
+        pushes_per_s=round(n_steps * n_nodes / wall, 1),
+        sim_seconds_per_wall_second=round(n_steps * DT_used / wall, 1),
         checkpoint_at_step=steps_leg1,
         resume_bit_exact=bit_exact,
         final_counters={k: (float(v) if isinstance(v, float) else int(v))
@@ -118,6 +160,10 @@ def main():
         device_memory=mem,
         finite=bool(np.all(np.isfinite(final_a))),
     )
+    if "--global" in sys.argv:
+        mask = np.asarray(g.mask)
+        rec["land_energy"] = float(np.abs(final_a[mask == 0, 0]).sum())
+        assert rec["land_energy"] == 0.0, "energy deposited on land"
     assert bit_exact, "checkpoint resume is not bit-exact!"
     assert rec["finite"]
     line = json.dumps(rec)

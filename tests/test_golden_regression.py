@@ -73,8 +73,12 @@ def _rtols(cfg):
     dict(advance_mode="pallas", pallas_interpret=True,
          scatter_mode="dense_pallas", dt_reset_mode="carry",
          remesh_mode="pallas"),                                # production stack
+    dict(advance_mode="pallas", pallas_interpret=True,
+         scatter_mode="dense_pallas", dt_reset_mode="carry",
+         remesh_mode="fused"),                    # remesh inside the gather
     dict(halo=((1, 3), (1, 3))),                               # asym capacity
-], ids=["xla", "pallas-adv", "pallas-adv+scatter", "pallas-full", "asym-halo"])
+], ids=["xla", "pallas-adv", "pallas-adv+scatter", "pallas-full",
+        "pallas-fused-remesh", "asym-halo"])
 def test_forced_box_golden(cfg):
     m = _model(**cfg)
     ms = m.init_state()
