@@ -76,3 +76,12 @@ def test_example_03_checkpoint_restart(tmp_path):
     assert np.array_equal(g["final_a"], g["final_b"])
     assert os.path.exists(os.path.join(str(tmp_path), "leg1.h5"))
     assert os.path.exists(os.path.join(str(tmp_path), "example_03.gif"))
+
+
+def test_example_04_sharded():
+    g = _run("example_04_sharded.py")
+    states = g["states"]
+    assert np.all(np.isfinite(states))
+    assert int(g["sim"].state.metrics.n_failed) == 0
+    # actually sharded over the virtual mesh
+    assert len(g["sim"].state.state.sharding.device_set) == 8

@@ -142,3 +142,33 @@ def test_fixed_defaults_1d():
                                                     ode_init_type=d))
     ms = model2.init_state()
     np.testing.assert_allclose(float(ms.particles.z[4, 0]), d.lne, rtol=1e-6)
+
+
+def test_b01_growth_invariant_to_DT():
+    """The reference B01 sweeps DT in {5..60 min}: the physical growth
+    curve must be (near-)independent of the remeshing step — E(t) at a
+    matched time agrees across DT within a few percent (the remesh
+    kill/reseed cycle adds only O(DT) discretization)."""
+    t_target = 12 * 3600.0
+    energies = []
+    for DT in (300.0, 600.0, 1800.0):
+        model = _model(U10=10.0, DT=DT, nx=31)
+        ms = model.init_state()
+        ms, _ = model.step_n(ms, int(round(t_target / DT)))
+        energies.append(float(ms.state[15, 0]))
+    m = np.mean(energies)
+    assert np.all(np.abs(np.array(energies) / m - 1.0) < 0.05), energies
+
+
+def test_b01_growth_invariant_to_resolution():
+    """The reference B01 sweeps Nx in {21..201}: duration-limited growth at
+    the domain center is resolution-independent (one particle per node,
+    homogeneous winds)."""
+    energies = []
+    for nx in (21, 51, 101):
+        model = _model(U10=10.0, nx=nx, Lx=500e3)
+        ms = model.init_state()
+        ms, _ = model.step_n(ms, 72)   # 12 h
+        energies.append(float(ms.state[nx // 2, 0]))
+    m = np.mean(energies)
+    assert np.all(np.abs(np.array(energies) / m - 1.0) < 0.02), energies
