@@ -60,7 +60,9 @@ def measure(nx, ny, *, solver="bosh3", advance_mode="pallas",
     for n in (n_small, 4 * n_small):
         _ = float(run_jit(ms, n).state[0, 0, 0])
     s_rough = max((timed(4 * n_small) - timed(n_small)) / (3 * n_small), 1e-7)
-    n_big = n_small + max(40, int(0.15 / s_rough) + 1)
+    # 0.25/s_rough: the rough estimate overshoots ~2x at launch-bound tiny
+    # sizes (sync noise in a 30-step window), so aim past the 150 ms target
+    n_big = n_small + max(40, int(0.25 / s_rough) + 1)
     _ = float(run_jit(ms, n_big).state[0, 0, 0])
 
     s_step = (timed(n_big) - timed(n_small)) / (n_big - n_small)

@@ -28,7 +28,8 @@ from .core.constants import (IDConstants, ODEParameters, ODESettings,
                              ScgConstants)
 from .forcing.winds import (GriddedWinds1D, GriddedWinds2D, Winds1D, Winds2D,
                             constant_winds, constant_winds_1d,
-                            half_domain_winds, time_cosine_winds)
+                            half_domain_winds, load_gridded_winds_2d,
+                            time_cosine_winds)
 from .grids.base import Boundary, Grid1D, Grid2D, GridStats
 from .grids.cartesian import cartesian_box, cartesian_grid_2d
 from .grids.spherical import spherical_grid_2d
@@ -38,8 +39,8 @@ from .models.state import (ModelState1D, ModelState2D, Particles1D,
                            Particles2D, StepMetrics)
 from .models.wave_growth_1d import (ParticleDefaults1D, WaveGrowth1D,
                                     WaveGrowth1DConfig, one_d_grid)
-from .models.wave_growth_2d import (ParticleDefaults2D, WaveGrowth2D,
-                                    WaveGrowth2DConfig)
+from .models.wave_growth_2d import (LayeredWaveGrowth2D, ParticleDefaults2D,
+                                    WaveGrowth2D, WaveGrowth2DConfig)
 from .ops.rhs import TermFlags, particle_equations, particle_equations_1d
 from .parallel.sharded import ShardedWaveGrowth2D, make_mesh
 from .simulation.checkpoint import load_checkpoint, save_checkpoint

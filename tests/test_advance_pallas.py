@@ -459,3 +459,46 @@ def test_pallas_advance_wide_grid_column_tiling():
                                rtol=5e-3, atol=1e-8)
     assert int(sp.metrics.n_failed) == 0
     assert int(sp.metrics.n_gather) == int(sx.metrics.n_gather)
+
+
+@pytest.mark.parametrize("boundary,halo", [
+    ("tripolar", ((0, 3), (0, 3))),
+    ("nonperiodic", ((1, 3), (0, 2))),
+])
+def test_fused_remesh_boundary_families(boundary, halo):
+    """remesh_mode='fused' across the boundary families the production
+    configs use: tripolar seam with zero-lo halo and non-periodic with
+    asymmetric bounds.  Compared against remesh_mode='xla' on the SAME
+    (dense_pallas) deposit, the composition is bitwise identical in
+    interpret mode."""
+    import dataclasses
+
+    from picles_tpu.grids.base import Boundary
+
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    per = boundary != "nonperiodic"
+    grid = cartesian_box(100e3, 24, 100e3, 16,
+                         periodic_boundary=(per, per))
+    if boundary == "tripolar":
+        stats = dataclasses.replace(grid.stats, bx=Boundary.PERIODIC,
+                                    by=Boundary.TRIPOLAR_NORTH)
+        grid = dataclasses.replace(grid, stats=stats)
+    mk = lambda rm: WaveGrowth2D(  # noqa: E731
+        grid, constant_winds(0.0, 10.0), sett,
+        config=WaveGrowth2DConfig(periodic_boundary=per,
+                                  advance_mode="pallas",
+                                  scatter_mode="dense_pallas",
+                                  dt_reset_mode="carry", remesh_mode=rm,
+                                  halo=halo, pallas_interpret=True))
+    mx, mf = mk("xla"), mk("fused")
+    sx, sf = mx.init_state(), mf.init_state()
+    for _ in range(3):
+        sx = mx.step(sx)
+        sf = mf.step(sf)
+    np.testing.assert_array_equal(np.asarray(sf.state), np.asarray(sx.state))
+    for k in ("n_gather", "n_reseed", "n_off", "n_failed"):
+        assert int(getattr(sf.metrics, k)) == int(getattr(sx.metrics, k)), k

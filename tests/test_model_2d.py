@@ -339,3 +339,61 @@ def test_auto_kernel_modes_resolve_per_backend():
                              scatter_mode="dense_pallas")
     r = _resolve_auto_modes(cfg)
     assert r.advance_mode == "pallas" and r.scatter_mode == "dense_pallas"
+
+
+def test_rotated_cartesian_grid_diagonal_propagation():
+    """Rotated box (reference T04 rotation/diagonal b.c. variants,
+    CartesianGrid.jl:115-131): with grid rotation angle a, physically
+    x-directed swell advances along BOTH index axes in the ratio
+    tan(a) — the rotation projection M = [[c/dx, s/dy], [s/dx, c/dy]]
+    applied inside the RHS."""
+    import dataclasses
+    import math
+
+    from picles_tpu.grids.cartesian import (cartesian_box,
+                                            projection_kernel_cartesian)
+    from picles_tpu.models.state import Particles2D
+    from picles_tpu.ops.rhs import TermFlags
+
+    # kernel-level: the reference formula
+    M = projection_kernel_cartesian(2000.0, 1000.0, 30.0)
+    c, s = math.cos(math.radians(30.0)), math.sin(math.radians(30.0))
+    np.testing.assert_allclose(M, [[c / 2000.0, s / 1000.0],
+                                   [s / 2000.0, c / 1000.0]])
+
+    # model-level: propagation-only blob on a 45-deg grid
+    DT = 600.0
+    ws = FR.MinimalWindsea(1.0, 1.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 3600.0, dt=1.0,
+                       dtmin=1e-2, force_dtmin=True)
+    grid = cartesian_box(100e3, 32, 100e3, 32, angle=45.0,
+                         periodic_boundary=(True, True))
+    flags = TermFlags(input=False, dissipation=False, peak_shift=False,
+                      direction=False)
+    model = WaveGrowth2D(grid, constant_winds(0.0, 0.0), sett, flags=flags,
+                         minimal_state=np.array([1e-12, 1e-20]),
+                         config=WaveGrowth2DConfig(periodic_boundary=True,
+                                                   halo=3))
+    ms = model.init_state()
+    on = np.zeros((32, 32), bool)
+    on[8:12, 8:12] = True
+    z = np.zeros((32, 32, 5), np.float32)
+    z[..., 0] = math.log(0.1)
+    z[..., 1] = 8.0          # physically x-directed swell
+    ms = dataclasses.replace(ms, particles=Particles2D.from_z(
+        jnp.asarray(z), ms.particles.t, ms.particles.dt, jnp.asarray(on)))
+    step = jax.jit(model.step)
+    com = []
+    for _ in range(6):
+        ms = step(ms)
+        e = np.asarray(ms.state[..., 0])
+        ii, jj = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        com.append((float((ii * e).sum() / e.sum()),
+                    float((jj * e).sum() / e.sum())))
+    di = com[-1][0] - com[0][0]
+    dj = com[-1][1] - com[0][1]
+    assert di > 0.3 and dj > 0.3          # moved along BOTH index axes
+    np.testing.assert_allclose(dj / di, math.tan(math.radians(45.0)),
+                               rtol=0.05)  # tan(angle) = 1
+    assert int(ms.metrics.n_failed) == 0
