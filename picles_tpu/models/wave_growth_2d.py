@@ -155,6 +155,7 @@ class WaveGrowth2D:
         self.params = ode_params
         self.constants = constants or IDConstants.create(r_g=ode_params.r_g)
         self.flags = flags
+        self._rhs_override = rhs is not None
         self.rhs = rhs if rhs is not None else particle_equations(
             winds.u, winds.v, gamma=self.constants.gamma, params=self.params,
             constants=self.constants, flags=flags)
@@ -438,6 +439,12 @@ class WaveGrowth2D:
             if cfg.dt_reset_mode != "carry":
                 raise ValueError('remesh_mode="fused" requires '
                                  'dt_reset_mode="carry"')
+            if cfg.scatter_mode != "dense_pallas":
+                raise ValueError(
+                    'remesh_mode="fused" IS the dense_pallas deposit (the '
+                    "remesh runs inside the gather kernel); set "
+                    'scatter_mode="dense_pallas" explicitly — resolved '
+                    f'config has scatter_mode={cfg.scatter_mode!r}.')
             if scatter_fn is not None:
                 raise ValueError(
                     'remesh_mode="fused" is single-chip only: the sharded '
@@ -537,33 +544,11 @@ class WaveGrowth2D:
                               order=self._rk_order)
             dt = jnp.where(was_reset, jnp.clip(dt_auto, sett.dtmin, DT), dt)
 
-        if psum_axes:
-            def _count(x):
-                return jax.lax.psum(jnp.sum(x).astype(jnp.int32), psum_axes)
-
-            def _maxred(x):
-                return jax.lax.pmax(jnp.max(x).astype(jnp.int32), psum_axes)
-        else:
-            def _count(x):
-                return jnp.sum(x).astype(jnp.int32)
-
-            def _maxred(x):
-                return jnp.max(x).astype(jnp.int32)
-
-        metrics = StepMetrics(
-            n_active=_count(adv),
-            n_failed=_count(failed),
-            n_nan_reset=_count(nan_mask),
-            n_inf_reset=_count(inf_mask),
-            n_emax_clamp=_count(emax_mask),
-            n_relight=_count(relight),
-            n_gather=_count(gather),
-            n_reseed=_count(reseed),
-            n_off=_count(go_off),
-            n_clamped=(jax.lax.psum(jnp.asarray(sc_stats.clamped, jnp.int32),
-                                    psum_axes) if psum_axes
-                       else jnp.asarray(sc_stats.clamped, jnp.int32)),
-            substeps_max=_maxred(res_naccept))
+        metrics = self._build_metrics(
+            psum_axes, adv=adv, failed=failed, nan_mask=nan_mask,
+            inf_mask=inf_mask, emax_mask=emax_mask, relight=relight,
+            gather=gather, reseed=reseed, off=go_off,
+            clamped=sc_stats.clamped, naccept=res_naccept)
 
         particles = Particles2D(lne=lne, cgx=cgx, cgy=cgy, px=px, py=py,
                                 t=t, dt=dt, on=on)
@@ -574,6 +559,36 @@ class WaveGrowth2D:
                             metrics=metrics)
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _build_metrics(psum_axes, *, adv, failed, nan_mask, inf_mask,
+                       emax_mask, relight, gather, reseed, off, clamped,
+                       naccept) -> StepMetrics:
+        """Per-step counters, psum/pmax-reduced across the mesh when the
+        step runs inside shard_map (shared by all three step tails)."""
+        if psum_axes:
+            def _count(x):
+                return jax.lax.psum(jnp.sum(x).astype(jnp.int32), psum_axes)
+
+            def _maxred(x):
+                return jax.lax.pmax(jnp.max(x).astype(jnp.int32), psum_axes)
+
+            n_cl = jax.lax.psum(jnp.asarray(clamped, jnp.int32), psum_axes)
+        else:
+            def _count(x):
+                return jnp.sum(x).astype(jnp.int32)
+
+            def _maxred(x):
+                return jnp.max(x).astype(jnp.int32)
+
+            n_cl = jnp.asarray(clamped, jnp.int32)
+        return StepMetrics(
+            n_active=_count(adv), n_failed=_count(failed),
+            n_nan_reset=_count(nan_mask), n_inf_reset=_count(inf_mask),
+            n_emax_clamp=_count(emax_mask), n_relight=_count(relight),
+            n_gather=_count(gather), n_reseed=_count(reseed),
+            n_off=_count(off), n_clamped=n_cl,
+            substeps_max=_maxred(naccept))
 
     def _fused_scatter_remesh_tail(self, ms, grid, active, boundary,
                                    lne, cgx, cgy, px, py, t, dt, on,
@@ -606,32 +621,13 @@ class WaveGrowth2D:
             grid.x, grid.y, ms.time, grid.stats, cfg.halo,
             wind_fields=wind_fields, interpret=cfg.pallas_interpret)
 
-        if psum_axes:
-            def _count(x):
-                return jax.lax.psum(jnp.sum(x).astype(jnp.int32), psum_axes)
-
-            def _maxred(x):
-                return jax.lax.pmax(jnp.max(x).astype(jnp.int32), psum_axes)
-        else:
-            def _count(x):
-                return jnp.sum(x).astype(jnp.int32)
-
-            def _maxred(x):
-                return jnp.max(x).astype(jnp.int32)
-
         br = rm.branch
-        metrics = StepMetrics(
-            n_active=_count(adv),
-            n_failed=_count(failed),
-            n_nan_reset=_count(nan_mask),
-            n_inf_reset=_count(inf_mask),
-            n_emax_clamp=_count(emax_mask),
-            n_relight=_count(relight),
-            n_gather=_count((br & GATHER_BIT) != 0),
-            n_reseed=_count((br & RESEED_BIT) != 0),
-            n_off=_count((br & OFF_BIT) != 0),
-            n_clamped=jnp.asarray(sc_stats.clamped, jnp.int32),
-            substeps_max=_maxred(res_naccept))
+        metrics = self._build_metrics(
+            psum_axes, adv=adv, failed=failed, nan_mask=nan_mask,
+            inf_mask=inf_mask, emax_mask=emax_mask, relight=relight,
+            gather=(br & GATHER_BIT) != 0, reseed=(br & RESEED_BIT) != 0,
+            off=(br & OFF_BIT) != 0, clamped=sc_stats.clamped,
+            naccept=res_naccept)
 
         particles = Particles2D(lne=rm.lne, cgx=rm.cgx, cgy=rm.cgy,
                                 px=rm.px, py=rm.py, t=t, dt=rm.dt, on=rm.on)
@@ -671,34 +667,13 @@ class WaveGrowth2D:
             boundary_defaults=bdefaults,
             boundary_source=self._boundary_source)
 
-        if psum_axes:
-            def _count(x):
-                return jax.lax.psum(jnp.sum(x).astype(jnp.int32), psum_axes)
-
-            def _maxred(x):
-                return jax.lax.pmax(jnp.max(x).astype(jnp.int32), psum_axes)
-        else:
-            def _count(x):
-                return jnp.sum(x).astype(jnp.int32)
-
-            def _maxred(x):
-                return jnp.max(x).astype(jnp.int32)
-
         br = rm.branch
-        metrics = StepMetrics(
-            n_active=_count(adv),
-            n_failed=_count(failed),
-            n_nan_reset=_count(nan_mask),
-            n_inf_reset=_count(inf_mask),
-            n_emax_clamp=_count(emax_mask),
-            n_relight=_count(relight),
-            n_gather=_count((br & GATHER_BIT) != 0),
-            n_reseed=_count((br & RESEED_BIT) != 0),
-            n_off=_count((br & OFF_BIT) != 0),
-            n_clamped=(jax.lax.psum(jnp.asarray(sc_stats.clamped, jnp.int32),
-                                    psum_axes) if psum_axes
-                       else jnp.asarray(sc_stats.clamped, jnp.int32)),
-            substeps_max=_maxred(res_naccept))
+        metrics = self._build_metrics(
+            psum_axes, adv=adv, failed=failed, nan_mask=nan_mask,
+            inf_mask=inf_mask, emax_mask=emax_mask, relight=relight,
+            gather=(br & GATHER_BIT) != 0, reseed=(br & RESEED_BIT) != 0,
+            off=(br & OFF_BIT) != 0, clamped=sc_stats.clamped,
+            naccept=res_naccept)
 
         particles = Particles2D(lne=rm.lne, cgx=rm.cgx, cgy=rm.cgy,
                                 px=rm.px, py=rm.py, t=t, dt=rm.dt, on=rm.on)
@@ -763,6 +738,11 @@ class WaveGrowth2D:
     def with_winds(self, winds) -> "WaveGrowth2D":
         """A model sharing this one's grid/settings/constants but forced by
         different winds (used by per-layer wind forcing)."""
+        if self._rhs_override:
+            raise ValueError(
+                "with_winds cannot rebuild a model constructed with a "
+                "custom `rhs` (the override closes over its own winds); "
+                "build the per-layer models explicitly instead.")
         return WaveGrowth2D(self.grid, winds, self.settings,
                             ode_params=self.params, constants=self.constants,
                             flags=self.flags,

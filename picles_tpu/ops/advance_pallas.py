@@ -260,7 +260,8 @@ def auto_dt_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
 
     nx, ny = t.shape
     if block_x <= 0:
-        block_x = auto_block_x(ny, 64)  # measured stack, see auto_block_x
+        # measured stack (see auto_block_x) + extra wind-field streams
+        block_x = auto_block_x(ny, 64 + 2 * len(wind_fields))
     bx, nx_pad = row_block(nx, block_x)
     grid = (nx_pad // bx,)
 
@@ -314,13 +315,17 @@ def advance_pallas(u_wind: Callable, v_wind: Callable, consts: RHSConsts,
 
     nx, ny = t.shape
     ny_lanes = ((ny + 127) // 128) * 128
+    # VMEM stack: 93 f32-buffer units measured with NO wind-field planes
+    # (constant winds); each extra field adds an input stream (x2 for
+    # Mosaic's double buffering)
+    n_buf = 93 + 2 * len(wind_fields)
     # very wide grids (auto mode): full-width row blocks would shrink
     # below ~16 rows and lose sublane efficiency (measured +12% at
     # 3072^2) — tile columns too, keeping ~24-row blocks.
-    bc = col_block(ny, 93) if block_x <= 0 else ny_lanes
+    bc = col_block(ny, n_buf) if block_x <= 0 else ny_lanes
     two_d = bc < ny_lanes
     if block_x <= 0:
-        block_x = auto_block_x(bc if two_d else ny, 93)
+        block_x = auto_block_x(bc if two_d else ny, n_buf)
     # 8-aligned block + row padding: any nx (incl. primes) tiles cleanly
     bx, nx_pad = row_block(nx, block_x)
     if two_d:

@@ -101,15 +101,19 @@ def _accum_kernel(xl: int, xh: int, yl: int, yh: int,
 
 
 def _check_halo_fits(xl: int, xh: int, yl: int, yh: int, PADR: int) -> None:
-    """The column pad is fixed at 64 lanes (PADC, a (8,128)-tile half-width)
-    and the row pad at PADR; a declared halo beyond either would make the
-    slab writes index with a *negative* Python offset — silently wrapping
-    and corrupting the deposit instead of failing. Oversized halos are a
-    config error (CIC displaces <= a few cells per DT), so raise loudly."""
-    if max(yl, yh) > 64 or max(xl, xh) > PADR:
+    """The column pad is fixed at 64 lanes (PADC, a (8,128)-tile
+    half-width): a y halo beyond it would make the slab writes index with
+    a *negative* Python offset — silently wrapping and corrupting the
+    deposit instead of failing.  (The row pad PADR is derived as
+    ``max(4, ceil(max(xl, xh)/4)*4)`` at every call site, so it always
+    covers the x halo — only the column capacity is a real constraint.)
+    Oversized halos are a config error (CIC displaces <= a few cells per
+    DT), so raise loudly."""
+    assert max(xl, xh) <= PADR, "PADR must be derived from the x halo"
+    if max(yl, yh) > 64:
         raise ValueError(
             f"CIC halo (({xl},{xh}),({yl},{yh})) exceeds the Pallas gather "
-            f"kernel's pad capacity (x<= {PADR}, y<=64). Such displacements "
+            f"kernel's column pad capacity (y<=64). Such displacements "
             f"(>64 cells/DT) are far beyond the model's CFL regime; reduce "
             f"`halo` or use scatter_mode='dense'/'xla'.")
 
@@ -426,7 +430,7 @@ def scatter_remesh_fused(
 
     Returns ((e, mx, my), RemeshResult, ScatterStats).
     """
-    from .pallas_util import pad_rows
+    from .pallas_util import pad_cols, pad_rows
     from .remesh_pallas import RemeshResult
 
     ins5, clamped, g = _gather_setup(xrel, yrel, charge, scatter_active,
@@ -437,13 +441,7 @@ def scatter_remesh_fused(
     nx_pad, ny_pad = g["nx_pad"], g["ny_pad"]
 
     def pad2(a, fill=None):
-        a = pad_rows(a, nx_pad, fill=fill)
-        pad_c = ny_pad - a.shape[1]
-        if pad_c:
-            widths = ((0, 0), (0, pad_c))
-            a = (jnp.pad(a, widths, mode="edge") if fill is None
-                 else jnp.pad(a, widths, constant_values=fill))
-        return a
+        return pad_cols(pad_rows(a, nx_pad, fill=fill), ny_pad, fill=fill)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     tarr = jnp.asarray(time_scalar, lne.dtype).reshape(1, 1)

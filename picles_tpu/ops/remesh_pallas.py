@@ -158,7 +158,8 @@ def remesh_pallas(u_wind: Callable, v_wind: Callable,
 
     nx, ny = lne.shape
     if block_x <= 0:
-        block_x = auto_block_x(ny, 64)  # measured stack, see auto_block_x
+        # measured stack (see auto_block_x) + extra wind-field streams
+        block_x = auto_block_x(ny, 64 + 2 * len(wind_fields))
     bx, nx_pad = row_block(nx, block_x)
     grid = (nx_pad // bx,)
 

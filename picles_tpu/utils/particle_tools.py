@@ -61,9 +61,16 @@ def record_trajectories(model, ms, n_steps: int, saving_step=None):
             # shadow sub-window advance of the CURRENT particles: the raw
             # in-window ODE history at the save cadence
             P = carry.particles
-            # 1D models carry no separate aux/active_mask attributes
+            # match the real step's advance mask: 2D models expose
+            # active_mask; the 1D step advances on & ~boundary_mask
+            # (boundary particles never integrate, wave_growth_1d.py)
             aux = getattr(model, "aux", model.grid)
-            active = P.on & getattr(model, "active_mask", True)
+            if hasattr(model, "active_mask"):
+                active = P.on & model.active_mask
+            elif hasattr(model, "boundary_mask"):
+                active = P.on & ~model.boundary_mask
+            else:
+                active = P.on
             h = jnp.asarray(DT / K, P.t.dtype)
 
             def sub(sc, _):

@@ -502,3 +502,22 @@ def test_fused_remesh_boundary_families(boundary, halo):
     np.testing.assert_array_equal(np.asarray(sf.state), np.asarray(sx.state))
     for k in ("n_gather", "n_reseed", "n_off", "n_failed"):
         assert int(getattr(sf.metrics, k)) == int(getattr(sx.metrics, k)), k
+
+
+def test_fused_requires_dense_pallas_scatter():
+    """remesh_mode='fused' IS the dense_pallas deposit: any other resolved
+    scatter_mode is a config error, raised clearly instead of dying in
+    Mosaic lowering."""
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(100e3, 8, 100e3, 8, periodic_boundary=(True, True))
+    m = WaveGrowth2D(grid, constant_winds(10.0, 5.0), sett,
+                     config=WaveGrowth2DConfig(remesh_mode="fused",
+                                               scatter_mode="dense",
+                                               dt_reset_mode="carry",
+                                               pallas_interpret=True))
+    with pytest.raises(ValueError, match="dense_pallas"):
+        m.step(m.init_state())

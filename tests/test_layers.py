@@ -168,3 +168,18 @@ def test_layered_adapter_rejected_by_sharded_with_clear_error():
     lm = _model(2, n=16).as_layered()
     with pytest.raises(TypeError, match="pass its `.model`"):
         ShardedWaveGrowth2D(lm, make_mesh(shape=(4, 2)))
+
+
+def test_with_winds_rejects_custom_rhs():
+    """with_winds (per-layer winds) cannot rebuild a model whose RHS was
+    overridden — the override closes over its own winds; fails loudly."""
+    import pytest
+
+    from picles_tpu.ops.rhs import particle_equations
+
+    m0 = _model(2)
+    custom = particle_equations(lambda x, y, t: 7.0, lambda x, y, t: 0.0)
+    m = WaveGrowth2D(m0.grid, constant_winds(10.0, 5.0), m0.settings,
+                     rhs=custom, config=m0.config)
+    with pytest.raises(ValueError, match="custom `rhs`"):
+        m.as_layered(per_layer_winds=[constant_winds(1.0, 0.0)] * 2)

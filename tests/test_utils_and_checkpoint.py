@@ -300,3 +300,32 @@ def test_load_era5_shaped_file_reference_names(tmp_path):
     ms, _ = model.step_n(ms, 2)
     assert np.all(np.isfinite(np.asarray(ms.state)))
     assert int(ms.metrics.n_failed) == 0
+
+
+def test_record_trajectories_sub_dt_1d_boundary_lanes_held():
+    """1D sub-DT histories use the 1D step's advance mask (on & ~boundary):
+    non-periodic boundary lanes must stay constant in z_fine exactly as
+    they do in the real step."""
+    from picles_tpu.forcing.winds import constant_winds_1d
+    from picles_tpu.models.wave_growth_1d import (WaveGrowth1D,
+                                                  WaveGrowth1DConfig,
+                                                  one_d_grid)
+
+    DT = 600.0
+    ws = FR.MinimalWindsea_1d(10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=150.0,
+                       timestep=DT, total_time=6 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = one_d_grid(0.0, 200e3, 11, periodic=False)
+    model = WaveGrowth1D(grid, constant_winds_1d(10.0), sett,
+                         config=WaveGrowth1DConfig(periodic_boundary=False))
+    ms = model.init_state()
+    z0_bnd = np.asarray(ms.particles.z)[0].copy()
+    _, hist = PT.record_trajectories(model, ms, 2)
+    zf = np.asarray(hist["z_fine"])    # [2*4, nx, 3]
+    # boundary lane 0 never integrates: all fine samples of step 1 equal
+    # its initial state
+    for k in range(4):
+        np.testing.assert_array_equal(zf[k, 0], z0_bnd)
+    # an interior lane does evolve within the window
+    assert not np.allclose(zf[0, 5], np.asarray(ms.particles.z)[5])
