@@ -210,3 +210,56 @@ def test_full_step_1d_matches_f64_oracle_nonperiodic():
 
 def test_full_step_1d_matches_f64_oracle_periodic():
     _run_case(True)
+
+
+def test_full_step_1d_merge_rule_opposing_winds():
+    """Converging half-domain winds (+U left, -U right): mixed-sign
+    momentum deposits collide mid-domain, exercising the sign-merge rule
+    (equal-sign contributions add; the larger-|m| group wins the node)
+    for real — locked against the oracle's independent implementation."""
+    import jax
+    import jax.numpy as jnp
+
+    from picles_tpu.core import fetch_relations as FR
+    from picles_tpu.core.constants import ODESettings
+    from picles_tpu.forcing.winds import Winds1D
+    from picles_tpu.models.wave_growth_1d import (WaveGrowth1D,
+                                                  WaveGrowth1DConfig,
+                                                  one_d_grid)
+
+    nx, Lx, DT, U = 9, 200e3, 600.0, 10.0
+    xsplit = Lx / 2
+
+    def u_o(x, t):
+        return U if x < xsplit else -U
+
+    winds = Winds1D(u=lambda x, t: jnp.where(jnp.asarray(x) < xsplit,
+                                             U, -U).astype(jnp.float32))
+
+    orc = Oracle1D(nx, Lx, False, u_o, DT)
+    z, on = orc.seed()
+    t = 0.0
+    states = []
+    for _ in range(4):
+        z, on, S = orc.step(z, on, t)
+        t += DT
+        states.append(S.copy())
+    # both momentum signs must actually appear in the field
+    assert (states[-1][:, 1] > 0).any() and (states[-1][:, 1] < 0).any()
+
+    ws = FR.MinimalWindsea_1d(U, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True,
+                       abstol=1e-7, reltol=1e-6)
+    grid = one_d_grid(0.0, Lx, nx, periodic=False)
+    model = WaveGrowth1D(grid, winds, sett,
+                         config=WaveGrowth1DConfig(periodic_boundary=False))
+    ms = model.init_state()
+    step = jax.jit(model.step)
+    for k in range(4):
+        ms = step(ms)
+        np.testing.assert_allclose(np.asarray(ms.state)[:, :2], states[k],
+                                   rtol=1e-4, atol=1e-9,
+                                   err_msg=f"opposing step {k+1}")
+    np.testing.assert_array_equal(np.asarray(ms.particles.on), on)
