@@ -129,3 +129,33 @@ def test_core_gather_clamps_capacity_violations():
                                np.stack([c0, c1, c2], -1), rtol=1e-5,
                                atol=1e-6)
     assert int(s1.clamped) == int(s2.clamped) == nx * ny
+
+
+def test_oversized_halo_raises_actionable_error():
+    """A y halo beyond the kernel's 64-lane column pad must raise a clear
+    ValueError (previously a negative Python slab offset would silently
+    wrap and corrupt the deposit)."""
+    import pytest
+
+    from picles_tpu.grids.base import Boundary, GridStats
+    from picles_tpu.ops.pic_pallas import scatter_core_channels_pallas
+
+    nx, ny = 16, 16
+    st = GridStats(nx=nx, ny=ny, bx=Boundary.PERIODIC, by=Boundary.PERIODIC)
+    z = jnp.zeros((nx, ny), jnp.float32)
+    with pytest.raises(ValueError, match="pad capacity"):
+        scatter_core_channels_pallas(z, z, (z, z, z),
+                                     jnp.ones((nx, ny), bool), st,
+                                     ((0, 3), (0, 70)), interpret=True)
+
+
+def test_auto_block_x_raises_for_impossible_width():
+    """The 16 MB scoped-VMEM hard limit produces an actionable error when
+    even an 8-row full-width block cannot fit (explicit-block kernels;
+    the advance auto-tiles columns instead, see col_block)."""
+    import pytest
+
+    from picles_tpu.ops.pallas_util import auto_block_x
+
+    with pytest.raises(ValueError, match="scoped VMEM"):
+        auto_block_x(20_000, 93)

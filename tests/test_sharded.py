@@ -449,3 +449,52 @@ def test_simulation_driver_runs_sharded_model():
         sim3.run()
         assert float(sim3.state.time) > float(sim2.state.time)
         assert np.all(np.isfinite(np.asarray(sim3.state.state)))
+
+
+def test_sharded_pallas_advance_gridded_pwl_winds_f64():
+    """Gridded winds on the PALLAS advance inside shard_map: each shard
+    builds its exact PWL wind fields from shard-local coordinates against
+    the replicated wind record (900 s cadence vs DT=600 s, so windows
+    straddle frames).  Fixed substeps + f64 pin the comparison tight —
+    in f32, the PWL intercept a = u0 - t_frame*s amplifies slope ulps by
+    the absolute clock and shape-dependent FMA ordering leaves 1-2 ulp
+    wind differences that young-sea growth amplifies (same reason the
+    XLA gridded tight test runs in f64)."""
+    from picles_tpu.forcing.winds import GriddedWinds2D
+
+    DT = 600.0
+    nxw = nyw = 10
+    rng = np.random.default_rng(11)
+    u = 10.0 + rng.standard_normal((20, nxw, nyw))
+    v = 5.0 + rng.standard_normal((20, nxw, nyw))
+    with jax.enable_x64(True):
+        gw = GriddedWinds2D(u_data=jnp.asarray(u, jnp.float64),
+                            v_data=jnp.asarray(v, jnp.float64),
+                            x0=0.0, dx=100e3 / (nxw - 1), y0=0.0,
+                            dy=100e3 / (nyw - 1), t0=0.0, dt=900.0)
+        grid = cartesian_box(100e3, 32, 100e3, 24,
+                             periodic_boundary=(True, True),
+                             dtype=jnp.float64)
+        cfg = WaveGrowth2DConfig(periodic_boundary=True,
+                                 advance_mode="pallas",
+                                 dt_reset_mode="carry",
+                                 pallas_interpret=True,
+                                 dtype=jnp.float64)
+        model = WaveGrowth2D(grid, gw.as_winds(),
+                             _settings_fixed(DT, sub=150.0), config=cfg)
+        assert model._wind_B == 1
+        mesh = make_mesh(devices=jax.devices()[:4], shape=(2, 2))
+        sharded = ShardedWaveGrowth2D(model, mesh)
+
+        ref = model.init_state()
+        step_ref = jax.jit(model.step)
+        msh = sharded.shard_state(model.init_state())
+        for _ in range(3):   # windows [0,600], [600,1200]*, [1200,1800]*
+            ref = step_ref(ref)
+            msh = sharded.step(msh)
+        np.testing.assert_allclose(np.asarray(msh.state),
+                                   np.asarray(ref.state),
+                                   rtol=1e-6, atol=1e-12)
+        for k in ("n_active", "n_gather", "n_failed"):
+            assert int(getattr(msh.metrics, k)) == int(
+                getattr(ref.metrics, k)), k
