@@ -21,6 +21,14 @@ accumulator (picles_tpu.ops.pic.scatter_accumulate_padded):
 
 Everything else in the step (ODE advance, guards, remesh) needs no
 communication; metrics are ``psum``-reduced.
+
+Multi-host pods: call ``jax.distributed.initialize()`` before building the
+mesh (``make_mesh`` defaults to ``jax.devices()``, which is GLOBAL across
+processes); ``shard_state`` detects ``jax.process_count() > 1`` and
+contributes per-host shards via ``make_array_from_callback``.  The step
+itself is a ``shard_map`` over named mesh axes and is process-agnostic —
+its ppermute/all_gather collectives ride ICI within a slice and DCN
+between them, as laid out by the mesh.
 """
 
 from __future__ import annotations
@@ -255,11 +263,26 @@ class ShardedWaveGrowth2D:
 
     def shard_state(self, ms: ModelState2D) -> ModelState2D:
         """Place a (host/global) ModelState onto the mesh with the step's
-        shardings so no resharding happens inside the loop."""
+        shardings so no resharding happens inside the loop.
+
+        Multi-host pods (jax.process_count() > 1 after
+        ``jax.distributed.initialize``): ``device_put`` cannot target
+        non-addressable devices, so each process contributes its
+        addressable shards via ``make_array_from_callback`` — every host
+        computes the same deterministic global seed state and slices its
+        own blocks out of it.
+        """
         specs = state_specs(self.layers > 1)
-        return jax.tree.map(
-            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
-            ms, specs)
+        if jax.process_count() > 1:
+            def put(x, s):
+                sharding = NamedSharding(self.mesh, s)
+                host = np.asarray(jax.device_get(x))
+                return jax.make_array_from_callback(
+                    host.shape, sharding, lambda idx: host[idx])
+        else:
+            def put(x, s):
+                return jax.device_put(x, NamedSharding(self.mesh, s))
+        return jax.tree.map(put, ms, specs)
 
     def shard_grid_and_masks(self):
         """Optionally pre-place grid arrays (XLA would otherwise reshard on

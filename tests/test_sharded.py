@@ -498,3 +498,26 @@ def test_sharded_pallas_advance_gridded_pwl_winds_f64():
         for k in ("n_active", "n_gather", "n_failed"):
             assert int(getattr(msh.metrics, k)) == int(
                 getattr(ref.metrics, k)), k
+
+
+def test_shard_state_multihost_callback_path_equivalent():
+    """The multi-process branch of shard_state (make_array_from_callback,
+    used when device_put cannot target non-addressable devices on pods)
+    must produce bitwise the same sharded state as the single-process
+    device_put path."""
+    from unittest import mock
+
+    model = _model(nx=32, ny=24)
+    mesh = make_mesh(shape=(4, 2))
+    sharded = ShardedWaveGrowth2D(model, mesh)
+    ms = model.init_state()
+
+    a = sharded.shard_state(ms)
+    with mock.patch.object(jax, "process_count", return_value=2):
+        b = sharded.shard_state(ms)
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert la.sharding == lb.sharding
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # and both step identically
+    sa, sb = sharded.step(a), sharded.step(b)
+    np.testing.assert_array_equal(np.asarray(sa.state), np.asarray(sb.state))
