@@ -8,9 +8,11 @@ parity with the pure-XLA paths:
   1. CIC gather deposit vs XLA dense scatter — every boundary family
      (periodic / nonperiodic / tripolar seam) x symmetric + asymmetric +
      zero-lo halos, at aligned and awkward (prime) sizes,
-  2. fused advance kernel vs the XLA while_loop integrator,
-  3. fused remesh kernel vs the XLA remesh,
-  4. one full model step, pallas config vs XLA config.
+  2. one full model step, pallas config vs XLA config,
+  3. standalone remesh kernel vs the XLA remesh,
+  4. fused gather+remesh kernel vs the split phases,
+  5. gridded winds via the exact PWL fields at a frame-straddling cadence,
+  6. the layered (vmapped) step through the Mosaic kernels.
 
 Exit code 0 = all checks pass.  Run:  python benchmark/tpu_numerics_check.py
 """
@@ -48,7 +50,7 @@ def check(name, a, b, rtol, atol=1e-6):
 
 
 def check_scatter():
-    print("[1/3] CIC gather vs XLA dense scatter")
+    print("[1/6] CIC gather vs XLA dense scatter")
     rng = np.random.default_rng(0)
     # kept small: every (size, halo, boundary) combo is a fresh Mosaic
     # compile through the tunnel (~5-10 s each)
@@ -91,7 +93,7 @@ def _models(nx, ny, **kw):
 
 
 def check_step_paths():
-    print("[2/3] full step: pallas config vs XLA config (5 steps)")
+    print("[2/6] full step: pallas config vs XLA config (5 steps)")
     for nx, ny in [(64, 48), (127, 61)]:
         mx = _models(nx, ny, advance_mode="xla", scatter_mode="dense",
                      dt_reset_mode="carry")
@@ -105,7 +107,7 @@ def check_step_paths():
 
 
 def check_remesh_pallas():
-    print("[3/4] pallas remesh vs XLA remesh (5 steps)")
+    print("[3/6] pallas remesh vs XLA remesh (5 steps)")
     mx = _models(64, 48, advance_mode="pallas", scatter_mode="dense_pallas",
                  dt_reset_mode="carry", remesh_mode="xla")
     mp = _models(64, 48, advance_mode="pallas", scatter_mode="dense_pallas",
@@ -117,7 +119,7 @@ def check_remesh_pallas():
 
 
 def check_gridded_winds_pwl():
-    print("[5/5] gridded winds via exact PWL fields (frame-straddling)")
+    print("[5/6] gridded winds via exact PWL fields (frame-straddling)")
     import numpy as np
 
     from picles_tpu.forcing.winds import GriddedWinds2D
@@ -160,7 +162,7 @@ def check_gridded_winds_pwl():
 
 
 def check_fused_scatter_remesh():
-    print("[4/4] fused gather+remesh kernel vs split phases (5 steps)")
+    print("[4/6] fused gather+remesh kernel vs split phases (5 steps)")
     for nx, ny in [(64, 48), (127, 61)]:
         mx = _models(nx, ny, advance_mode="pallas",
                      scatter_mode="dense_pallas", dt_reset_mode="carry",
@@ -178,6 +180,19 @@ def check_fused_scatter_remesh():
                 int(getattr(sx.metrics, k)), (nx, ny, k)
 
 
+def check_layered_vmap():
+    print("[6/6] layered (vmapped) step through the Mosaic kernels")
+    mx = _models(64, 48, advance_mode="xla", dt_reset_mode="carry",
+                 layers=3)
+    mp = _models(64, 48, advance_mode="pallas",
+                 scatter_mode="dense_pallas", dt_reset_mode="carry",
+                 layers=3)
+    ms = mx.init_state_layers()
+    sx = jax.jit(mx.step_layers)(ms)
+    sp = jax.jit(mp.step_layers)(ms)
+    check("layered vmap 3x64x48", sp.state, sx.state, rtol=2e-4, atol=1e-7)
+
+
 def main():
     print(f"devices: {jax.devices()}")
     check_scatter()
@@ -185,6 +200,7 @@ def main():
     check_remesh_pallas()
     check_fused_scatter_remesh()
     check_gridded_winds_pwl()
+    check_layered_vmap()
     print(f"ALL OK ({PASS} checks)")
 
 

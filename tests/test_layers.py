@@ -183,3 +183,31 @@ def test_with_winds_rejects_custom_rhs():
                      rhs=custom, config=m0.config)
     with pytest.raises(ValueError, match="custom `rhs`"):
         m.as_layered(per_layer_winds=[constant_winds(1.0, 0.0)] * 2)
+
+
+def test_layers_pallas_kernels_vmap():
+    """The layered step vmaps pallas_call kernels (advance + one-pass
+    deposit): vmap lowers them with a prepended grid dimension — locked
+    against the XLA layered step (interpret mode here; the Mosaic
+    compilation of the same batched kernels is checked on-chip by
+    benchmark/tpu_numerics_check.py stage 6)."""
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(100e3, 16, 100e3, 16, periodic_boundary=(True, True))
+    mk = lambda **c: WaveGrowth2D(  # noqa: E731
+        grid, constant_winds(10.0, 5.0), sett,
+        config=WaveGrowth2DConfig(periodic_boundary=True, layers=2,
+                                  dt_reset_mode="carry", **c))
+    mx = mk(advance_mode="xla")
+    mp = mk(advance_mode="pallas", scatter_mode="dense_pallas",
+            pallas_interpret=True)
+    ms = mx.init_state_layers(_swell_defaults(2))
+    sx = jax.jit(mx.step_layers)(ms)
+    sp = jax.jit(mp.step_layers)(ms)
+    np.testing.assert_allclose(np.asarray(sp.state), np.asarray(sx.state),
+                               rtol=5e-3, atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(sp.metrics.n_gather),
+                                  np.asarray(sx.metrics.n_gather))
