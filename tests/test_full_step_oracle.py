@@ -234,15 +234,16 @@ class Oracle:
                 if not active[i, j]:
                     continue
                 xg, yg = self.X[i, j], self.Y[i, j]
-                # winds sampled at the fixed node position
-                u = self.u_func(xg, yg, t0)
-                v = self.v_func(xg, yg, t0)
                 if on[i, j]:
                     Mij, pcij = self.Mf[i, j], self.pcf[i, j]
+                    # winds sampled at the fixed node position but at the
+                    # SOLVER's time — time-dependent forcing varies within
+                    # the window, exactly like the framework RHS
                     sol = solve_ivp(
-                        lambda t, zz: _np_rhs_2d(t, zz, u, v, Mij, pcij,
-                                                 self.pars,
-                                                 gamma=self.cid.gamma),
+                        lambda t, zz: _np_rhs_2d(
+                            t, zz, self.u_func(xg, yg, t),
+                            self.v_func(xg, yg, t), Mij, pcij,
+                            self.pars, gamma=self.cid.gamma),
                         (t0, t0 + DT), z[i, j], rtol=1e-8, atol=1e-11,
                         method="RK45")
                     z[i, j] = sol.y[:, -1]
@@ -371,6 +372,12 @@ CASES = {
     "periodic-halfdomain": dict(periodic=True, U=10.0, V=0.0, land=False,
                                 half=True),
     "periodic-landmask": dict(periodic=True, U=10.0, V=5.0, land=True),
+    # growing/decaying winds (T04_2D_growing_decaying analog): forcing
+    # varies WITHIN each advance window (the oracle RHS samples winds at
+    # the solver's time) and collapses toward 0 at step 3, driving the
+    # re-light / reseed / off branches under time dependence
+    "periodic-timecosine": dict(periodic=True, U=10.0, V=0.0, land=False,
+                                timecos=7200.0),
 }
 
 
@@ -398,6 +405,18 @@ def test_full_step_matches_f64_oracle(case):
         winds = Winds2D(
             u=lambda x, y, t: jnp.where(jnp.asarray(x) < xsplit, U, 0.0),
             v=lambda x, y, t: jnp.zeros_like(jnp.asarray(x, jnp.float32)))
+    elif cfg.get("timecos"):
+        from picles_tpu.forcing.winds import time_cosine_winds
+
+        period = cfg["timecos"]
+
+        def u_o(x, y, t):
+            return U * math.cos(2.0 * math.pi * t / period)
+
+        def v_o(x, y, t):
+            return 0.0
+
+        winds = time_cosine_winds(U, 0.0, period=period)
     else:
         def u_o(x, y, t):
             return U
