@@ -695,3 +695,87 @@ def test_full_step_matches_f64_oracle_open_boundary_inflow():
                                    rtol=1e-4, atol=1e-9,
                                    err_msg=f"inflow step {k + 1}")
     np.testing.assert_array_equal(np.asarray(ms.particles.on), on)
+
+
+def test_full_step_matches_f64_oracle_gridded_winds():
+    """Gridded (t, x, y) wind forcing through the full step: the oracle
+    samples its OWN float64 trilinear interpolant (independent of
+    jax.scipy.ndimage.map_coordinates — index convention, spatial clamp,
+    time clamp all re-derived), at a 900 s cadence vs DT = 600 s so
+    advance windows straddle wind frames.  Locks the loader/sampler
+    conventions (reference WindEmulator.jl:18-43) from outside."""
+    import jax
+
+    from picles_tpu.core import fetch_relations as FR
+    from picles_tpu.core.constants import ODESettings
+    from picles_tpu.forcing.winds import GriddedWinds2D
+    from picles_tpu.grids.cartesian import cartesian_box
+    from picles_tpu.models.wave_growth_2d import (WaveGrowth2D,
+                                                  WaveGrowth2DConfig)
+    import jax.numpy as jnp
+
+    nx = ny = 6
+    Lx = Ly = 100e3
+    DT = 600.0
+    nxw = nyw = 5
+    ntw = 8
+    dtw = 900.0
+    dxw, dyw = Lx / (nxw - 1), Ly / (nyw - 1)
+    rng = np.random.default_rng(23)
+    # smooth mean + mild noise, f32 data (what the loader produces)
+    u_rec = (9.0 + 1.5 * rng.standard_normal((ntw, nxw, nyw))).astype(
+        np.float32)
+    v_rec = (4.0 + rng.standard_normal((ntw, nxw, nyw))).astype(np.float32)
+
+    def tri(data, x, y, t):
+        """Independent f64 trilinear sample: clamp on every axis (the
+        default mode='nearest' spatial clamp + mode_t='clamp')."""
+        d = np.asarray(data, np.float64)
+        xi = min(max(x / dxw, 0.0), nxw - 1.0)
+        yi = min(max(y / dyw, 0.0), nyw - 1.0)
+        ti = min(max(t / dtw, 0.0), ntw - 1.0)
+
+        def lerp1(arr, f):
+            i0 = int(math.floor(f))
+            i1 = min(i0 + 1, arr.shape[0] - 1)
+            w = f - i0
+            return arr[i0] * (1 - w) + arr[i1] * w
+
+        return lerp1(lerp1(lerp1(d, ti), xi), yi)
+
+    def u_o(x, y, t):
+        return tri(u_rec, x, y, t)
+
+    def v_o(x, y, t):
+        return tri(v_rec, x, y, t)
+
+    gw = GriddedWinds2D(u_data=jnp.asarray(u_rec), v_data=jnp.asarray(v_rec),
+                        x0=0.0, dx=dxw, y0=0.0, dy=dyw, t0=0.0, dt=dtw)
+
+    orc = Oracle(nx, ny, Lx, Ly, True, u_o, v_o, DT)
+    ocean = np.ones((nx, ny), bool)
+    z, on, S0, mask, active = orc.seed(ocean)
+    t = 0.0
+    states = []
+    for _ in range(3):
+        z, on, S = orc.step(z, on, t, mask, active)
+        t += DT
+        states.append(S.copy())
+
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True,
+                       abstol=1e-7, reltol=1e-6)
+    grid = cartesian_box(Lx, nx, Ly, ny, periodic_boundary=(True, True))
+    model = WaveGrowth2D(grid, gw.as_winds(), sett,
+                         config=WaveGrowth2DConfig(periodic_boundary=True))
+    assert model.gridded_winds is gw
+    ms = model.init_state()
+    step = jax.jit(model.step)
+    for k in range(3):
+        ms = step(ms)
+        np.testing.assert_allclose(np.asarray(ms.state), states[k],
+                                   rtol=2e-4, atol=1e-9,
+                                   err_msg=f"gridded step {k + 1}")
+    np.testing.assert_array_equal(np.asarray(ms.particles.on), on)
