@@ -114,13 +114,17 @@ class Simulation:
         """Reference run! (run.jl:36-122).
 
         With a store attached, states are needed every step: steps run in
-        ``lax.scan`` chunks of ``chunk_size`` (default: all remaining) whose
-        stacked outputs feed the store in blocks.  Without a store, steps
-        run through ``step_n_quiet`` (``fori_loop``, no per-step output) so
-        peak device memory stays O(state) for any horizon; a finite
-        ``wall_time_limit`` chunks that path too so the limit is enforced
-        between device dispatches (the reference checks wall time once per
-        step, run.jl:117-121).
+        ``lax.scan`` chunks of ``chunk_size`` (default 64) whose stacked
+        outputs feed the store in blocks — the stacked scan output is
+        ``[chunk, nx, ny, 3]`` on device regardless of horizon (an
+        unchunked 6-day 1536^2 endurance run would stack ~24 GB against a
+        v5e's 16 GB HBM; the reference writes the store once per step and
+        never materializes a history, run.jl:94-112).  Without a store,
+        steps run through ``step_n_quiet`` (``fori_loop``, no per-step
+        output) so peak device memory stays O(state) for any horizon; a
+        finite ``wall_time_limit`` chunks that path too so the limit is
+        enforced between device dispatches (the reference checks wall time
+        once per step, run.jl:117-121).
         """
         t_wall = _time.time()
         if not self.initialized:
@@ -145,7 +149,9 @@ class Simulation:
         # step, run.jl:117-121)
         needs_chunks = self.wall_time_limit != float("inf") or self.callbacks
         if use_store:
-            chunk = chunk_size or (64 if needs_chunks else remaining)
+            # ALWAYS bounded: each dispatch stacks [chunk, ...] on device,
+            # so peak memory is O(chunk * state) for any horizon
+            chunk = chunk_size or 64
             done = 0
             while done < remaining:
                 n = min(chunk, remaining - done)

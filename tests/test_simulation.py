@@ -169,6 +169,31 @@ def test_wall_time_limit_halts_stored_run_early():
     assert int(sim.state.iteration) == n_stored - 1
 
 
+def test_stored_run_default_is_bounded_chunks():
+    """store=True must NEVER dispatch one all-remaining step_n scan: the
+    stacked scan output lives on device as [n, nx, ny, 3], so an unbounded
+    n is O(n_steps * state) of HBM (a 865-step 1536^2 endurance run would
+    stack ~24 GB against v5e's 16 GB).  Default chunking bounds every
+    dispatch at 64 steps (reference stores once per step and never stacks,
+    run.jl:94-112)."""
+    sim = _sim(stop_time=24 * 3600.0)   # 145 steps — production-shaped horizon
+    dispatched = []
+    inner = sim.model.step_n
+
+    def spy(state, n):
+        dispatched.append(n)
+        return inner(state, n)
+
+    sim.model.step_n = spy
+    sim.run(cash_store=True)
+    assert dispatched, "store path did not go through step_n"
+    assert max(dispatched) <= 64, dispatched
+    assert sum(dispatched) == 145
+    # store holds initial write + every step, same as per-step storing
+    assert len(sim.store.store) == 146
+    assert int(sim.state.iteration) == 145
+
+
 def test_callbacks_run_per_chunk_and_nan_checker_halts():
     """Simulation.callbacks are LIVE (the reference declares diagnostics/
     callbacks OrderedDicts but never invokes them, simulation.jl:63-75):
