@@ -76,7 +76,7 @@ def main():
         e, mx, my = TR.particle_to_node(P.lne, P.cgx, P.cgy)
         (e_n, mx_n, my_n), _ = pic.scatter_channels(
             P.px, P.py, (e, mx, my), P.on & model.active_mask,
-            g.stats, model.config.halo, model.config.scatter_mode)
+            g.stats, model.config.halo, model.resolved_config().scatter_mode)
         return dataclasses.replace(
             ms2, state=jnp.stack([e_n, mx_n, my_n], axis=-1))
 

@@ -64,13 +64,14 @@ class WaveGrowth2DConfig:
     # "wind_sea" -> seed/reset from local winds; or a ParticleDefaults2D
     ode_init_type: Union[str, ParticleDefaults2D] = "wind_sea"
     boundary_type: str = "same"   # "wind_sea" | "mininmal" | "same"
-    # "auto" resolves per backend AT MODEL CONSTRUCTION (it snapshots
-    # jax.default_backend() once): the fused Pallas kernels on TPU, the
-    # XLA twins elsewhere (numerics agree to solver tolerance —
-    # cross-checked in tests and benchmark/tpu_numerics_check).  A model
-    # intended for a device other than the default backend must pass the
-    # modes explicitly — a constructed model does not re-resolve when
-    # moved (`model.config.advance_mode` shows what "auto" resolved to).
+    # "auto" resolves per backend LAZILY, at step-build/trace time (each
+    # step_core call asks jax.default_backend()): the fused Pallas kernels
+    # on TPU, the XLA twins elsewhere (numerics agree to solver tolerance
+    # — cross-checked in tests and benchmark/tpu_numerics_check).  A model
+    # constructed before device selection therefore compiles the right
+    # kernel family when first stepped, and ``model.config`` round-trips
+    # the user's "auto" (``model.resolved_config()`` shows what it
+    # resolves to right now).  Explicit modes always win.
     scatter_mode: str = "auto"    # "auto" | "dense" | "dense_pallas" | "xla"
     advance_mode: str = "auto"    # "auto" | "xla" | "pallas"
     # "auto": Hairer auto_dt on every reseed/gather (reference
@@ -99,7 +100,9 @@ class WaveGrowth2DConfig:
 
 
 def _resolve_auto_modes(cfg: "WaveGrowth2DConfig") -> "WaveGrowth2DConfig":
-    """Resolve ``"auto"`` kernel backends at model construction.
+    """Resolve ``"auto"`` kernel backends against the current default
+    backend (called lazily from ``step_core`` / the step tails, NOT at
+    model construction — see ``WaveGrowth2D.resolved_config``).
 
     On TPU the fused Pallas advance + one-pass CIC gather are 5.5x / 1.5x
     faster than the XLA twins (docs/PERF.md); on CPU (the test mesh) and
@@ -149,7 +152,10 @@ class WaveGrowth2D:
             self.gridded_winds = gw if isinstance(gw, GriddedWinds2D) else None
         self.winds = winds
         self.settings = ode_settings
-        self.config = config = _resolve_auto_modes(config)
+        # kept verbatim ("auto" intact) — kernel modes resolve lazily per
+        # backend in resolved_config(), so a model built before device
+        # selection still compiles the right kernel family at first step
+        self.config = config
         if ode_params is None:
             ode_params, constants, _ = ODEParameters.create()
         self.params = ode_params
@@ -254,6 +260,13 @@ class WaveGrowth2D:
                                   and not (self.boundary_defaults is None
                                            and self.defaults is None))
 
+    def resolved_config(self) -> WaveGrowth2DConfig:
+        """``self.config`` with "auto" kernel modes resolved against the
+        CURRENT default backend.  Called from ``step_core`` at trace time,
+        so resolution tracks device selection, not construction order;
+        ``self.config`` itself round-trips the user's "auto"."""
+        return _resolve_auto_modes(self.config)
+
     def _pallas_wind(self, grid, t0):
         """Kernel-side wind samplers + per-window field planes.
 
@@ -353,7 +366,7 @@ class WaveGrowth2D:
         selects the local config scatter.  Everything else is elementwise
         and runs unchanged under ``shard_map``.
         """
-        cfg = self.config
+        cfg = self.resolved_config()
         sett = self.settings
         DT = jnp.asarray(sett.timestep, cfg.dtype)
         P = ms.particles
@@ -601,7 +614,7 @@ class WaveGrowth2D:
         from ..ops.pic_pallas import scatter_remesh_fused
         from ..ops.remesh_pallas import GATHER_BIT, OFF_BIT, RESEED_BIT
 
-        cfg = self.config
+        cfg = self.resolved_config()
         sett = self.settings
         u_k, v_k, wind_fields = self._pallas_wind(grid, ms.time)
         d = self.defaults
@@ -647,7 +660,7 @@ class WaveGrowth2D:
         from ..ops.remesh_pallas import (GATHER_BIT, OFF_BIT, RESEED_BIT,
                                          remesh_pallas)
 
-        cfg = self.config
+        cfg = self.resolved_config()
         sett = self.settings
         u_k, v_k, wind_fields = self._pallas_wind(grid, ms.time)
         d = self.defaults

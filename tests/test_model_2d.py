@@ -326,19 +326,38 @@ def test_boundary_type_validation():
                      config=WaveGrowth1DConfig(boundary_type="bogus"))
 
 
-def test_auto_kernel_modes_resolve_per_backend():
-    """"auto" picks the XLA twins on CPU (this suite) and must leave
-    explicit choices untouched; resolution happens at construction so
-    step_core never sees "auto"."""
+def test_auto_kernel_modes_resolve_per_backend(monkeypatch):
+    """"auto" resolves LAZILY at step-build time against the then-current
+    backend (not snapshotted at construction): a model built before device
+    selection compiles the right kernel family, and ``model.config``
+    round-trips the user's "auto"."""
+    import jax
+
     from picles_tpu.models.wave_growth_2d import _resolve_auto_modes
 
     m = _box_model()  # default config -> auto
-    assert m.config.advance_mode == "xla"       # CPU backend here
-    assert m.config.scatter_mode == "dense"
-    cfg = WaveGrowth2DConfig(advance_mode="pallas",
-                             scatter_mode="dense_pallas")
+    # config round-trips the user's choice verbatim
+    assert m.config.advance_mode == "auto"
+    assert m.config.scatter_mode == "auto"
+    # resolution against the current (CPU) backend picks the XLA twins
+    r = m.resolved_config()
+    assert r.advance_mode == "xla" and r.scatter_mode == "dense"
+    # ...and the resolved config actually steps (never sees "auto")
+    ms = m.step(m.init_state())
+    assert float(ms.time) > 0.0
+
+    # construct-on-cpu / step-on-tpu: the SAME model re-resolves when the
+    # default backend changes after construction
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    r_tpu = m.resolved_config()
+    assert r_tpu.advance_mode == "pallas"
+    assert r_tpu.scatter_mode == "dense_pallas"
+    assert m.config.advance_mode == "auto"  # still round-trips
+
+    # explicit choices always win, on any backend
+    cfg = WaveGrowth2DConfig(advance_mode="xla", scatter_mode="dense")
     r = _resolve_auto_modes(cfg)
-    assert r.advance_mode == "pallas" and r.scatter_mode == "dense_pallas"
+    assert r.advance_mode == "xla" and r.scatter_mode == "dense"
 
 
 def test_rotated_cartesian_grid_diagonal_propagation():
