@@ -82,8 +82,19 @@ class GriddedWinds2D:
 
     The TPU-native replacement for Interpolations.jl linear_interpolation
     with periodic extrapolation (reference WindEmulator.jl:18-43): index
-    coordinates are computed from uniform axis metadata and fed to
+    coordinates are computed from the axis metadata and fed to
     ``jax.scipy.ndimage.map_coordinates`` (order=1).
+
+    Axes may be UNIFORM (give ``x0/dx`` etc.; index = (c - c0)/dc) or
+    NON-UNIFORM (give ``x_nodes``/``y_nodes``/``t_nodes``, strictly
+    increasing; index = piecewise-linear coordinate->index map evaluated
+    with ``jnp.interp`` over the node table — linear interpolation in
+    fractional-index space between nodes k and k+1 is then exactly linear
+    interpolation in coordinate space, matching the reference's
+    ``LinearInterpolation(nodes, ...)`` over arbitrary node vectors,
+    WindEmulator.jl:26 / B02_2D_regtest_netCDF.jl:73-75 — e.g. a
+    gaussian-spaced latitude axis).  Per-axis: any mix of uniform and
+    node-table axes works.
 
     u_data, v_data: [nt, nx, ny]
     """
@@ -105,22 +116,40 @@ class GriddedWinds2D:
     # three axes, so periodic space silently wrapped time too.
     mode: str = "nearest"
     mode_t: str = "clamp"
+    # optional non-uniform node tables (override c0/dc for that axis);
+    # 'wrap' on a node-table axis uses period nodes[-1] - nodes[0]
+    # (nodes[-1] identified with nodes[0] — the Interpolations.jl
+    # Periodic() convention for irregular knot vectors), vs the uniform
+    # axis's n*dc period with a residual [n-1, n) interval against
+    # sample 0.
+    x_nodes: Optional[jnp.ndarray] = None
+    y_nodes: Optional[jnp.ndarray] = None
+    t_nodes: Optional[jnp.ndarray] = None
+
+    def _axis_index(self, c, nodes, c0, dc, n, wrap):
+        """Coordinate -> fractional index for one axis (uniform metadata
+        or non-uniform node table)."""
+        c = jnp.asarray(c)
+        if nodes is None:
+            ci = (c - c0) / dc
+            # pre-fold into range; the residual [n-1, n) interval of a
+            # wrapped axis interpolates against sample 0 via mode='wrap'
+            return jnp.mod(ci, n) if wrap else jnp.clip(ci, 0.0, n - 1.0)
+        nd = jnp.asarray(nodes, c.dtype if jnp.issubdtype(c.dtype, jnp.floating)
+                         else jnp.float32)
+        if wrap:
+            c = nd[0] + jnp.mod(c - nd[0], nd[-1] - nd[0])
+        # jnp.interp clamps outside [nodes[0], nodes[-1]] — the 'nearest'
+        # edge behavior; inside, exact piecewise-linear index map
+        return jnp.interp(c, nd, jnp.arange(nd.shape[0], dtype=nd.dtype))
 
     def _coords(self, x, y, t):
         nt, nxw, nyw = self.u_data.shape
-        xi = (jnp.asarray(x) - self.x0) / self.dx
-        yi = (jnp.asarray(y) - self.y0) / self.dy
-        ti = (jnp.asarray(t) - self.t0) / self.dt
-
-        def fix(c, n, wrap):
-            # pre-fold into range; the residual [n-1, n) interval of a
-            # wrapped axis interpolates against sample 0 via mode='wrap'
-            return jnp.mod(c, n) if wrap else jnp.clip(c, 0.0, n - 1.0)
-
         wrap_s = self.mode == "wrap"
-        ti = fix(ti, nt, self.mode_t == "wrap")
-        xi = fix(xi, nxw, wrap_s)
-        yi = fix(yi, nyw, wrap_s)
+        ti = self._axis_index(t, self.t_nodes, self.t0, self.dt, nt,
+                              self.mode_t == "wrap")
+        xi = self._axis_index(x, self.x_nodes, self.x0, self.dx, nxw, wrap_s)
+        yi = self._axis_index(y, self.y_nodes, self.y0, self.dy, nyw, wrap_s)
         ti, xi, yi = jnp.broadcast_arrays(ti, xi, yi)
         return [ti, xi, yi]
 
@@ -137,10 +166,20 @@ class GriddedWinds2D:
 
     def n_breakpoints(self, DT: float) -> int:
         """Max wind-data frame boundaries a ``[t0, t0 + DT]`` window can
-        straddle: ``ceil(DT / dt)``.  Static (python ints/floats only) —
-        it sizes the piecewise-linear field tuple at trace time."""
+        straddle: ``ceil(DT / dt)`` for a uniform time axis;
+        ``floor(DT / min_spacing) + 1`` for a node table (a safe bound —
+        surplus breakpoints carry zero slope jumps and stay exact).
+        Static (python ints/floats only, computed from concrete node
+        data) — it sizes the piecewise-linear field tuple at trace time."""
         import math
 
+        if self.t_nodes is not None:
+            import numpy as _np
+
+            d = _np.diff(_np.asarray(self.t_nodes, _np.float64))
+            if d.size == 0:
+                return 1
+            return max(1, int(math.floor(float(DT) / float(d.min()))) + 1)
         return max(1, int(math.ceil(float(DT) / float(self.dt) - 1e-9)))
 
     def pallas_pwl_fields(self, x, y, t0, DT):
@@ -167,17 +206,55 @@ class GriddedWinds2D:
         Returns ``(a_u, s_u, a_v, s_v, [ds_u_k, ds_v_k, b_k] * B)`` arrays
         shaped like ``x`` — the ``wind_fields`` contract of
         ``gridded_pallas_samplers(B)``.
+
+        A NON-UNIFORM time axis (``t_nodes``) works too: frame times come
+        from the node table (gathered around ``searchsorted(t_nodes, t0)``)
+        and slopes divide by the actual per-segment gaps.  Repeated clamped
+        node times (windows straddling the record's ends) get zero slope
+        via a safe divide — exactly the clamp-mode interpolant, which is
+        flat there.  ``mode_t='wrap'`` with a node table is not supported
+        on this path (wrap boundaries of an irregular record are not
+        frame times of the window enumeration): use the XLA advance path.
         """
         B = self.n_breakpoints(DT)
         shp = jnp.shape(x)
         t0b = jnp.broadcast_to(jnp.asarray(t0, jnp.float32), shp)
-        # frame index at/below t0; frame time t_f[j] = t0w + (k0 + j) dtw
-        k0 = jnp.floor((t0b - self.t0) / self.dt)
-        tf = [self.t0 + (k0 + j) * self.dt for j in range(B + 2)]
+        if self.t_nodes is None:
+            # frame index at/below t0; frame time t_f[j] = t0w + (k0+j) dtw
+            k0 = jnp.floor((t0b - self.t0) / self.dt)
+            tf = [self.t0 + (k0 + j) * self.dt for j in range(B + 2)]
+            gaps = [self.dt] * (B + 1)
+        else:
+            if self.mode_t == "wrap":
+                raise ValueError(
+                    "pallas_pwl_fields: mode_t='wrap' is not supported "
+                    "with a non-uniform t_nodes table; use advance_mode="
+                    "'xla' or a clamped time axis")
+            tn = jnp.asarray(self.t_nodes, jnp.float32)
+            ntf = tn.shape[0]
+            # segment index at/below t0 (may be -1: t0 before the record)
+            k0 = jnp.searchsorted(tn, t0b, side="right").astype(jnp.int32) - 1
+            tf = []
+            for j in range(B + 2):
+                t_j = jnp.take(tn, jnp.clip(k0 + j, 0, ntf - 1))
+                if j == 0:
+                    # before the record the clamp-mode field is flat:
+                    # anchor the first sample at t0 itself so the first
+                    # segment's slope is exactly 0
+                    t_j = jnp.where(k0 < 0, t0b, t_j)
+                tf.append(t_j)
+            gaps = [tf[j + 1] - tf[j] for j in range(B + 1)]
         us = [self.u(x, y, t) for t in tf]
         vs = [self.v(x, y, t) for t in tf]
-        s_u = [(us[j + 1] - us[j]) / self.dt for j in range(B + 1)]
-        s_v = [(vs[j + 1] - vs[j]) / self.dt for j in range(B + 1)]
+
+        def slope(hi, lo, gap):
+            if isinstance(gap, float):
+                return (hi - lo) / gap
+            safe = jnp.where(gap > 0, gap, 1.0)
+            return jnp.where(gap > 0, (hi - lo) / safe, 0.0)
+
+        s_u = [slope(us[j + 1], us[j], gaps[j]) for j in range(B + 1)]
+        s_v = [slope(vs[j + 1], vs[j], gaps[j]) for j in range(B + 1)]
         fields = [us[0] - tf[0] * s_u[0], s_u[0],
                   vs[0] - tf[0] * s_v[0], s_v[0]]
         for k in range(1, B + 1):
@@ -207,20 +284,38 @@ def gridded_pallas_samplers(n_break: int = 0):
 @dataclasses.dataclass(frozen=True)
 class GriddedWinds1D:
     """Bi-linear interpolation of gridded (x, t) wind data — the direct
-    WindEmulator.IdealizedWindGrid + wind_interpolator analog."""
+    WindEmulator.IdealizedWindGrid + wind_interpolator analog.
+
+    Edge handling is PER-AXIS, same contract as ``GriddedWinds2D``:
+    ``mode`` covers space ('wrap' = periodic, the reference
+    wind_interpolator's ``Periodic()`` extrapolation, WindEmulator.jl:26;
+    'nearest' = clamp) and ``mode_t`` covers time.  ``mode_t`` defaults
+    to 'clamp' (hold the last frame past the record's end) — the
+    reference wraps BOTH axes, which silently loops a wind record shorter
+    than the run; pass ``mode_t='wrap'`` for that exact behavior.
+    """
 
     u_data: jnp.ndarray  # [nx, nt]
     x0: float
     dx: float
     t0: float
     dt: float
-    mode: str = "wrap"  # reference uses periodic extrapolation
+    mode: str = "wrap"      # spatial axis; reference-parity periodic
+    mode_t: str = "clamp"   # time axis
 
     def u(self, x, t):
+        nxw, ntw = self.u_data.shape
         xi = (jnp.asarray(x) - self.x0) / self.dx
         ti = (jnp.asarray(t) - self.t0) / self.dt
+        # pre-fold each axis by its own mode (the residual [n-1, n)
+        # interval of a wrapped axis interpolates against sample 0 via
+        # map_coordinates mode='wrap')
+        xi = jnp.mod(xi, nxw) if self.mode == "wrap" \
+            else jnp.clip(xi, 0.0, nxw - 1.0)
+        ti = jnp.mod(ti, ntw) if self.mode_t == "wrap" \
+            else jnp.clip(ti, 0.0, ntw - 1.0)
         xi, ti = jnp.broadcast_arrays(xi, ti)
-        return map_coordinates(self.u_data, [xi, ti], order=1, mode=self.mode)
+        return map_coordinates(self.u_data, [xi, ti], order=1, mode="wrap")
 
     def as_winds(self) -> Winds1D:
         return Winds1D(u=self.u)
@@ -252,8 +347,11 @@ def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
     (tests/T03_PIC_tripolar_realistic.jl:54, T04_2D_reg_test_netCDF.jl,
     B02_2D_regtest_netCDF.jl).  Reads NetCDF-4 via h5py with a scipy
     NetCDF-3 fallback (same strategy as grids.tripolar.load_mom6_grid).
-    Axes must be uniform (linear-index interpolation); data stored
-    [t, y, x] (CF convention) is transposed to [t, x, y].
+    Uniform axes use linear-index interpolation; a non-uniform axis
+    (e.g. gaussian-grid latitudes, or MOM6-native forcing) is kept as a
+    node table and interpolated through the coordinate->index map (see
+    GriddedWinds2D).  Data stored [t, y, x] (CF convention) is transposed
+    to [t, x, y].
 
     ERA5-style files (the reference's
     era5_surfacewinds_202301_10days_6hourly_1deg.nc) name the variables
@@ -282,19 +380,22 @@ def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
                   np.asarray(v[y_name], np.float64),
                   np.asarray(v[t_name], np.float64))
 
-    def _uniform(a, name):
+    def _axis(a, name):
+        """(c0, dc, nodes) — nodes is None for a uniform axis."""
         if a.size > 1:
             d = np.diff(a)
-            if not np.allclose(d, d[0], rtol=1e-4):
-                raise ValueError(f"{name} axis is not uniform")
-            return float(a[0]), float(d[0])
-        return float(a[0]), 1.0
+            if np.any(d <= 0):
+                raise ValueError(f"{name} axis is not strictly increasing")
+            if np.allclose(d, d[0], rtol=1e-4):
+                return float(a[0]), float(d[0]), None
+            return float(a[0]), float(d.mean()), jnp.asarray(a, jnp.float32)
+        return float(a[0]), 1.0, None
 
-    x0, dx = _uniform(xs, x_name)
-    y0, dy = _uniform(ys, y_name)
+    x0, dx, x_nodes = _axis(xs, x_name)
+    y0, dy, y_nodes = _axis(ys, y_name)
     if relative_time:
         ts = ts - ts[0]
-    t0, dt = _uniform(ts * time_scale, t_name)
+    t0, dt, t_nodes = _axis(ts * time_scale, t_name)
 
     def _txy(a):
         a = np.asarray(a, np.float32)
@@ -307,7 +408,8 @@ def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
     return GriddedWinds2D(u_data=jnp.asarray(_txy(v[u_name])),
                           v_data=jnp.asarray(_txy(v[v_name])),
                           x0=x0, dx=dx, y0=y0, dy=dy, t0=t0, dt=dt,
-                          mode=mode, mode_t=mode_t)
+                          mode=mode, mode_t=mode_t,
+                          x_nodes=x_nodes, y_nodes=y_nodes, t_nodes=t_nodes)
 
 
 def slopped_blob(x, t, U10, V, T, x_scale, t_scale, x0=300e3):
