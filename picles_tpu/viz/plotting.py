@@ -88,37 +88,167 @@ def plot_state_2d(grid, state, var: int = 0, *, ax=None, coast=True,
     return ax
 
 
+def _wind_pair(winds):
+    """Normalize a winds argument to a (u(x,y,t), v(x,y,t)) pair —
+    accepts Winds2D / GriddedWinds2D / a plain (u, v) tuple."""
+    if winds is None:
+        return None
+    if hasattr(winds, "u") and hasattr(winds, "v"):
+        return winds.u, winds.v
+    u, v = winds
+    return u, v
+
+
+def _group_velocity(state):
+    """Field c_x/c_y diagnostic (reference GetGroupVelocity,
+    core_2D.jl:138-147): c = m * e / (2 |m|^2), 0 where |m| ~ 0."""
+    e, mx, my = state[..., 0], state[..., 1], state[..., 2]
+    m2 = mx ** 2 + my ** 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cx = np.where(m2 > 1e-30, mx * e / (2.0 * m2), 0.0)
+        cy = np.where(m2 > 1e-30, my * e / (2.0 * m2), 0.0)
+    return cx, cy
+
+
 def movie_2d(grid, states, path: str, *, winds=None, times=None, fps: int = 8,
-             var: int = 0, as_hs: bool = True):
-    """Animated Hs field + optional wind quiver (movie_2D.jl analog).
+             var: int = 0, as_hs: bool = True, dt: Optional[float] = None,
+             name_string: str = "", arrow_skip: int = 3):
+    """Animated movie (reference movie_2D.jl init_movie_2D_box_plot).
+
+    With ``winds`` given, renders the reference's multi-panel dashboard
+    (movie_2D.jl:63-98): wind-speed heatmap with an arrow (quiver)
+    overlay, Hs, momentum m_x/m_y panels, and group-velocity c_x/c_y
+    panels, plus the DT/dx/CFL/time header line (movie_2D.jl:125).
+    Without winds, a single Hs panel (the pre-r5 behavior).
 
     states: [nt, nx, ny, 3]; writes a GIF via pillow.
     """
     states = np.asarray(states)
-    x = np.asarray(grid.x) / 1e3 if grid.stats.kind == "cartesian" \
-        else np.asarray(grid.x)
-    y = np.asarray(grid.y) / 1e3 if grid.stats.kind == "cartesian" \
-        else np.asarray(grid.y)
-    data = (significant_wave_height(states[..., 0]) if as_hs
-            else states[..., var])
+    cart = grid.stats.kind == "cartesian"
+    x = np.asarray(grid.x) / 1e3 if cart else np.asarray(grid.x)
+    y = np.asarray(grid.y) / 1e3 if cart else np.asarray(grid.y)
     land = np.asarray(grid.mask) == 0
-    vmax = float(np.nanmax(data)) or 1.0
+    nt = states.shape[0]
+    t_of = (lambda i: float(times[i])) if times is not None else float
 
-    fig, ax = plt.subplots(figsize=(6.5, 5.5))
-    field = np.ma.masked_where(land, data[0])
-    im = ax.pcolormesh(x, y, field, shading="auto", cmap="viridis",
-                       vmin=0, vmax=vmax)
-    fig.colorbar(im, ax=ax, label="Hs [m]" if as_hs else f"state[{var}]")
-    title = ax.set_title("t = 0")
+    def tlabel(i):
+        return (f"time = {t_of(i) / 3600.0:.1f} h" if times is not None
+                else f"frame {i}")
+
+    wp = _wind_pair(winds)
+    if wp is None:
+        data = (significant_wave_height(states[..., 0]) if as_hs
+                else states[..., var])
+        vmax = float(np.nanmax(data)) or 1.0
+        fig, ax = plt.subplots(figsize=(6.5, 5.5))
+        im = ax.pcolormesh(x, y, np.ma.masked_where(land, data[0]),
+                           shading="auto", cmap="viridis", vmin=0, vmax=vmax)
+        fig.colorbar(im, ax=ax, label="Hs [m]" if as_hs else f"state[{var}]")
+        title = ax.set_title(tlabel(0))
+
+        def update(i):
+            im.set_array(np.ma.masked_where(land, data[i]).ravel())
+            title.set_text(tlabel(i))
+            return im, title
+
+        ani = animation.FuncAnimation(fig, update, frames=nt)
+        ani.save(path, writer=animation.PillowWriter(fps=fps))
+        plt.close(fig)
+        return path
+
+    # ---- dashboard (reference 3x2 panel grid, movie_2D.jl:67-98) ----
+    u_f, v_f = wp
+    xm, ym = np.asarray(grid.x), np.asarray(grid.y)
+
+    def wind_fields(i):
+        t = np.full_like(xm, t_of(i), dtype=np.float64)
+        u = np.broadcast_to(np.asarray(u_f(xm, ym, t), np.float64), xm.shape)
+        v = np.broadcast_to(np.asarray(v_f(xm, ym, t), np.float64), xm.shape)
+        return u, v
+
+    hs = significant_wave_height(states[..., 0])
+    u0, v0 = wind_fields(0)
+    # shared color range from a subsample of frames
+    sp_max = max(float(np.hypot(*wind_fields(i)).max())
+                 for i in range(0, nt, max(1, nt // 8))) or 1.0
+    hs_max = float(np.nanmax(hs)) or 1.0
+    m_lim = float(np.nanmax(np.abs(states[..., 1:3]))) or 0.1
+    cx0, cy0 = _group_velocity(states)
+    c_lim = float(np.nanmax(np.hypot(cx0, cy0))) or 1.0
+
+    sk = max(1, arrow_skip)
+    qsl = (slice(None, None, sk), slice(None, None, sk))
+
+    fig, axes = plt.subplots(3, 2, figsize=(10, 13.5),
+                             sharex=True, sharey=True)
+    (ax_wind, ax_hs), (ax_mx, ax_my), (ax_cx, ax_cy) = axes
+    masked = lambda a: np.ma.masked_where(land, a)  # noqa: E731
+
+    im_wind = ax_wind.pcolormesh(x, y, np.hypot(u0, v0), shading="auto",
+                                 cmap="cividis", vmin=0, vmax=sp_max)
+    quiv = ax_wind.quiver(x[qsl], y[qsl], u0[qsl], v0[qsl], color="w",
+                          scale=sp_max * 12.0)
+    ax_wind.set_title("Winds")
+    im_hs = ax_hs.pcolormesh(x, y, masked(hs[0]), shading="auto",
+                             cmap="viridis", vmin=0, vmax=hs_max)
+    ax_hs.set_title("Hs")
+    im_mx = ax_mx.pcolormesh(x, y, masked(states[0, ..., 1]), shading="auto",
+                             cmap="RdBu_r", vmin=-m_lim, vmax=m_lim)
+    ax_mx.set_title("x momentum")
+    im_my = ax_my.pcolormesh(x, y, masked(states[0, ..., 2]), shading="auto",
+                             cmap="RdBu_r", vmin=-m_lim, vmax=m_lim)
+    ax_my.set_title("y momentum")
+    im_cx = ax_cx.pcolormesh(x, y, masked(cx0[0]), shading="auto",
+                             cmap="RdBu_r", vmin=-c_lim, vmax=c_lim)
+    ax_cx.set_title("c_x")
+    im_cy = ax_cy.pcolormesh(x, y, masked(cy0[0]), shading="auto",
+                             cmap="RdBu_r", vmin=-c_lim, vmax=c_lim)
+    ax_cy.set_title("c_y")
+    fig.colorbar(im_wind, ax=ax_wind, label="winds [m/s]")
+    fig.colorbar(im_hs, ax=ax_hs, label="Hs [m]")
+    fig.colorbar(im_mx, ax=ax_mx, label="momentum x []")
+    fig.colorbar(im_my, ax=ax_my, label="momentum y []")
+    fig.colorbar(im_cx, ax=ax_cx, label="group velocity [m/s]")
+    fig.colorbar(im_cy, ax=ax_cy, label="group velocity [m/s]")
+    unit = "km" if cart else "deg"
+    for ax in (ax_cx, ax_cy):
+        ax.set_xlabel(f"x [{unit}]")
+    for ax in (ax_wind, ax_mx, ax_cx):
+        ax.set_ylabel(f"y [{unit}]")
+
+    dx = float(getattr(grid.stats, "dx", 0.0) or 0.0)
+
+    def header(i):
+        # reference title line: DT, dx, CFL, time (movie_2D.jl:125)
+        parts = []
+        if dt is not None:
+            parts.append(f"DT={dt:.0f} s")
+        if dx:
+            cmax = float(np.nanmax(np.hypot(cx0[i], cy0[i])))
+            parts.append(f"dx={dx:.0f} m")
+            if dt is not None:
+                parts.append(f"CFL={cmax * dt / dx:.3f}")
+        parts.append(tlabel(i))
+        if name_string:
+            parts.append(name_string)
+        return ", ".join(parts)
+
+    suptitle = fig.suptitle(header(0))
+    fig.tight_layout(rect=(0, 0, 1, 0.97))
 
     def update(i):
-        im.set_array(np.ma.masked_where(land, data[i]).ravel())
-        label = (f"t = {times[i]/3600.0:.1f} h" if times is not None
-                 else f"frame {i}")
-        title.set_text(label)
-        return im, title
+        ui, vi = wind_fields(i)
+        im_wind.set_array(np.hypot(ui, vi).ravel())
+        quiv.set_UVC(ui[qsl], vi[qsl])
+        im_hs.set_array(masked(hs[i]).ravel())
+        im_mx.set_array(masked(states[i, ..., 1]).ravel())
+        im_my.set_array(masked(states[i, ..., 2]).ravel())
+        im_cx.set_array(masked(cx0[i]).ravel())
+        im_cy.set_array(masked(cy0[i]).ravel())
+        suptitle.set_text(header(i))
+        return (im_wind, quiv, im_hs, im_mx, im_my, im_cx, im_cy, suptitle)
 
-    ani = animation.FuncAnimation(fig, update, frames=data.shape[0])
+    ani = animation.FuncAnimation(fig, update, frames=nt)
     ani.save(path, writer=animation.PillowWriter(fps=fps))
     plt.close(fig)
     return path
