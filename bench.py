@@ -63,7 +63,15 @@ def build(nx, ny, advance_mode="pallas", dt_reset_mode="carry",
                                                   halo=((0, 3), (0, 3))))
 
 
-def bench_config(nx, ny, n_small=None, n_big=None, reps=3, solver="bosh3"):
+def bench_config(nx, ny, n_small=None, n_big=None, reps=5, solver="bosh3"):
+    """Returns a dict with the median-throughput headline plus the repeat
+    band (min/max over ``reps`` paired measurements).  Each repeat times
+    the (n_small, n_big) scan pair once and derives one per-step estimate,
+    so the reported spread is the spread of the actual estimator — on the
+    tunneled platform a ±2-4% run-to-run band is normal (docs/PERF.md
+    quotes it; a regression is a drop beyond that band)."""
+    import statistics
+
     import jax
 
     if n_small is None:
@@ -90,18 +98,27 @@ def bench_config(nx, ny, n_small=None, n_big=None, reps=3, solver="bosh3"):
         _ = float(run_jit(ms, n).state[0, 0, 0])
 
     def timed(n):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = run_jit(ms, n)
-            _ = float(out.state[0, 0, 0])  # true sync on this platform
-            best = min(best, time.perf_counter() - t0)
-        return best
+        t0 = time.perf_counter()
+        out = run_jit(ms, n)
+        _ = float(out.state[0, 0, 0])  # true sync on this platform
+        return time.perf_counter() - t0
 
-    t_small, t_big = timed(n_small), timed(n_big)
-    s_per_step = max((t_big - t_small) / (n_big - n_small), 1e-9)
+    estimates = []
+    for _ in range(reps):
+        t_small, t_big = timed(n_small), timed(n_big)
+        estimates.append(
+            max((t_big - t_small) / (n_big - n_small), 1e-9))
     pushes = nx * ny
-    return pushes / s_per_step, s_per_step
+    s_med = statistics.median(estimates)
+    s_min, s_max = min(estimates), max(estimates)
+    return {
+        "pushes_per_s": pushes / s_med,          # headline: median
+        "s_per_step": s_med,
+        "pushes_per_s_max": pushes / s_min,      # fastest repeat
+        "pushes_per_s_min": pushes / s_max,      # slowest repeat
+        "spread_pct": 100.0 * (s_max - s_min) / s_med,
+        "reps": reps,
+    }
 
 
 def main():
@@ -123,29 +140,41 @@ def main():
             solver = a.split("=", 1)[1]
     explicit = solver is not None
     solver = solver or "bosh3"
-    pushes_per_s, s_per_step = bench_config(nx, ny, solver=solver)
+    r = bench_config(nx, ny, solver=solver)
+    pushes_per_s, s_per_step = r["pushes_per_s"], r["s_per_step"]
     msg = (f"[bench] {nx}x{ny} ({solver}): {pushes_per_s:.3e} pushes/s "
-           f"({s_per_step*1e3:.2f} ms/step)")
+           f"median of {r['reps']} "
+           f"[{r['pushes_per_s_min']:.3e}, {r['pushes_per_s_max']:.3e}] "
+           f"spread {r['spread_pct']:.1f}% ({s_per_step*1e3:.2f} ms/step)")
     out = {
         "metric": "particle_pushes_per_s",
         "value": round(pushes_per_s, 1),
         "unit": "pushes/s",
         "vs_baseline": round(pushes_per_s / BASELINE_PUSHES_PER_S, 2),
+        # repeat band (median-of-5 headline): quote regressions against
+        # value_min, not the headline — see docs/PERF.md variance note
+        "value_min": round(r["pushes_per_s_min"], 1),
+        "value_max": round(r["pushes_per_s_max"], 1),
+        "spread_pct": round(r["spread_pct"], 2),
+        "reps": r["reps"],
     }
     if not explicit:
         # solver-identical parity number alongside the fast variant: the
         # reference integrates with the AutoTsit5 family
         # (particle_waves_v5.jl:47); bosh3 is this framework's fast twin
         # at the same tolerances.  Skipped when --solver pins one config.
-        t_pps, t_spstep = bench_config(nx, ny, solver="tsit5")
-        msg += (f"; tsit5 parity: {t_pps:.3e} pushes/s "
-                f"({t_spstep*1e3:.2f} ms/step)")
-        out["parity_tsit5_pushes_per_s"] = round(t_pps, 1)
-        out["parity_tsit5_vs_baseline"] = round(t_pps / BASELINE_PUSHES_PER_S,
-                                                2)
+        t = bench_config(nx, ny, solver="tsit5")
+        msg += (f"; tsit5 parity: {t['pushes_per_s']:.3e} pushes/s "
+                f"({t['s_per_step']*1e3:.2f} ms/step, "
+                f"spread {t['spread_pct']:.1f}%)")
+        out["parity_tsit5_pushes_per_s"] = round(t["pushes_per_s"], 1)
+        out["parity_tsit5_vs_baseline"] = round(
+            t["pushes_per_s"] / BASELINE_PUSHES_PER_S, 2)
+        out["parity_tsit5_spread_pct"] = round(t["spread_pct"], 2)
     if "--small" in sys.argv:  # also time the reference's 51x51 config
-        small_pps, small_spstep = bench_config(51, 51, solver=solver)
-        msg += f"; 51x51: {small_pps:.3e} pushes/s ({small_spstep*1e3:.2f} ms/step)"
+        s = bench_config(51, 51, solver=solver)
+        msg += (f"; 51x51: {s['pushes_per_s']:.3e} pushes/s "
+                f"({s['s_per_step']*1e3:.2f} ms/step)")
     print(msg, file=sys.stderr)
     print(json.dumps(out))
 
