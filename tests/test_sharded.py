@@ -256,7 +256,15 @@ def test_sharded_gridded_winds_matches_single_device():
     # agreement is at solver-tolerance level (reltol=1e-3 per substep,
     # compounded over the adaptive path), not bitwise: different array
     # shapes vectorize transcendentals differently at the last ulp and the
-    # error controller amplifies that into different (all valid) step paths
+    # error controller amplifies that into different (all valid) step paths.
+    # This 2e-2 bound is intentionally LOOSE and must not absorb real
+    # regressions: the same gridded-winds + sharding composition is pinned
+    # TIGHT by the f64 fixed-substep twin below
+    # (test_sharded_gridded_winds_fixed_substep_f64, rtol 1e-6/1e-12 —
+    # no adaptive controller, so any sharding bug shows up there) and the
+    # collective path itself is ulp-exact
+    # (test_sharded_scatter_collective_exact).  If this assert starts
+    # failing, check those two before widening the tolerance.
     np.testing.assert_allclose(np.asarray(msh.state), np.asarray(ref.state),
                                rtol=2e-2, atol=1e-6)
     # the sharded wind sampling itself is exact: positions and clocks match
