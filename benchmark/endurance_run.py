@@ -10,7 +10,15 @@ resume check into one JSON blob (committed as benchmark/endurance_r0N.json
 — the evidence that the flagship config completes a production horizon
 under the production driver, not just a bench loop).
 
-Run:  python benchmark/endurance_run.py [N] [--days D] [out.json]
+``--store`` additionally re-runs the same horizon with a full HDF5
+StateStore attached (``run(store=True)``, default 64-step chunking —
+VERDICT r4 item 1): every step's field is written to disk exactly like
+the reference's per-step store (run.jl:94-112) while peak device memory
+stays O(chunk * state); the record gains the stored-run wall time, the
+on-disk size, and a bitwise check of the final stored frame against the
+storeless trajectory.
+
+Run:  python benchmark/endurance_run.py [N] [--days D] [--store] [out.json]
 """
 
 import json
@@ -166,6 +174,45 @@ def main():
         assert rec["land_energy"] == 0.0, "energy deposited on land"
     assert bit_exact, "checkpoint resume is not bit-exact!"
     assert rec["finite"]
+
+    if "--store" in sys.argv:
+        # ---- stored-run leg: same horizon with a FULL HDF5 StateStore --
+        # (default 64-step chunking bounds device memory at O(64 * state);
+        # an unchunked dispatch would stack the whole [n_steps, nx, ny, 3]
+        # history on device — the r4 hazard this leg proves fixed)
+        store_dir = tempfile.mkdtemp(prefix="picles_endurance_store_")
+        model3 = build_model()
+        sim3 = Simulation.create(model3, stop_time=horizon)
+        sim3.initialize()
+        sim3.init_state_store(store_dir)
+        t0 = time.perf_counter()
+        sim3.run(store=True)
+        jax.block_until_ready(sim3.state.state)
+        t_store = time.perf_counter() - t0
+        last_idx = int(sim3.state.iteration)   # frame 0 is the seed state
+        sim3.store.close()
+        import h5py
+        with h5py.File(os.path.join(store_dir, "state.h5")) as f:
+            d = f["waves/data"]
+            n_frames = d.shape[0]
+            last_frame = d[last_idx]
+            disk_bytes = os.path.getsize(os.path.join(store_dir, "state.h5"))
+        # deterministic twin: the stored trajectory's final frame must be
+        # bitwise the storeless run's end state (modulo the store's f8 cast)
+        stored_matches = bool(
+            np.array_equal(last_frame.astype(np.float32), final_a))
+        rec.update(
+            store_wall_s=round(t_store, 3),
+            store_n_frames=n_frames,
+            store_frames_written=last_idx + 1,
+            store_disk_gb=round(disk_bytes / 1e9, 2),
+            store_steps_per_s=round(int(sim3.state.iteration) / t_store, 2),
+            store_final_frame_bitwise=stored_matches,
+            store_device_memory=device_memory_stats(),
+        )
+        assert stored_matches, "stored final frame != storeless end state"
+        import shutil
+        shutil.rmtree(store_dir, ignore_errors=True)
     line = json.dumps(rec)
     print(line)
     if out_path:
