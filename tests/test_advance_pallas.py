@@ -47,7 +47,7 @@ def test_pallas_advance_matches_xla_constant_winds():
 def test_pallas_advance_time_dependent_winds():
     """Per-lane time enters the wind closure inside the kernel."""
     winds = time_cosine_winds(10.0, 0.0, period=6 * 3600.0)
-    mx, mp = _models(winds, n=16)
+    mx, mp = _models(winds, n=12)
     sx, sp = mx.init_state(), mp.init_state()
     for _ in range(4):
         sx = mx.step(sx)
@@ -64,7 +64,11 @@ def test_pallas_block_divisor_handling():
     assert np.all(np.isfinite(np.asarray(sp.state)))
 
 
-@pytest.mark.parametrize("n", [61, 127])
+@pytest.mark.parametrize("n", [
+    61,
+    # second prime size: exhaustive tier (same padding machinery)
+    pytest.param(127, marks=pytest.mark.slow),
+])
 def test_pallas_prime_nx_all_kernels_match_xla(n):
     """Prime nx: the old divisor search degenerated to 1-row blocks (a
     Mosaic hazard / silent perf cliff); blocks are now 8-aligned with row
@@ -98,9 +102,15 @@ def test_pallas_prime_nx_all_kernels_match_xla(n):
         assert int(getattr(sp.metrics, k)) == int(getattr(sx.metrics, k)), k
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [61])
 def test_auto_dt_pallas_prime_nx(n):
-    """auto_dt path (dt_reset_mode='auto') on a prime nx."""
+    """[exhaustive tier: auto-dt is a non-production dt policy and the
+    prime-nx padding machinery is locked by
+    test_pallas_prime_nx_all_kernels_match_xla; the auto_dt kernel itself
+    by test_auto_dt_pallas_matches_xla]
+
+    auto_dt path (dt_reset_mode='auto') on a prime nx."""
     mx, mp = _models(constant_winds(10.0, 5.0), n=n)
     sx, sp = mx.init_state(), mp.init_state()
     for _ in range(2):
@@ -112,8 +122,12 @@ def test_auto_dt_pallas_prime_nx(n):
                                rtol=5e-3, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_pallas_advance_gridded_winds():
-    """Gridded (map_coordinates) winds run on the Pallas path via the
+    """[exhaustive tier: the frame-straddle variant below is the
+    stronger default-tier lock for the same path]
+
+    Gridded (map_coordinates) winds run on the Pallas path via the
     per-step linearization fields.  Forcing cadence = 2 DT and aligned, so
     the linearization equals the tri-linear interpolant exactly and the two
     paths must agree to solver tolerance."""
@@ -197,7 +211,7 @@ def test_pallas_advance_gridded_winds_frame_straddle():
     gw = GriddedWinds2D(u_data=jnp.asarray(u_data), v_data=jnp.asarray(v_data),
                         x0=0.0, dx=100e3 / (nxw - 1), y0=0.0,
                         dy=100e3 / (nyw - 1), t0=0.0, dt=900.0)
-    mx, mp = _models(gw.as_winds(), n=16)
+    mx, mp = _models(gw.as_winds(), n=12)
     assert mp._wind_B == 1
     sx, sp = mx.init_state(), mp.init_state()
     for _ in range(4):   # windows [0,600], [600,1200]*, [1200,1800]*, ...
@@ -317,7 +331,12 @@ def _carry_models(winds, n=24, remesh="pallas"):
     return mk("xla"), mk(remesh)
 
 
-@pytest.mark.parametrize("remesh", ["pallas", "fused"])
+@pytest.mark.parametrize("remesh", [
+    "pallas",
+    # fused remesh-in-gather: exhaustive tier (same branch table is
+    # locked by the [pallas] sibling + test_fused_remesh_boundary_families)
+    pytest.param("fused", marks=pytest.mark.slow),
+])
 def test_remesh_pallas_matches_xla_constant_winds(remesh):
     mx, mp = _carry_models(constant_winds(10.0, 5.0), remesh=remesh)
     sx, sp = mx.init_state(), mp.init_state()
@@ -342,17 +361,25 @@ def test_remesh_pallas_matches_xla_constant_winds(remesh):
         assert int(getattr(sp.metrics, f)) == int(getattr(sx.metrics, f)), f
 
 
-@pytest.mark.parametrize("remesh", ["pallas", "fused"])
+@pytest.mark.parametrize("remesh", [
+    "pallas",
+    # fused remesh-in-gather: exhaustive tier (same branch table is
+    # locked by the [pallas] sibling + test_fused_remesh_boundary_families)
+    pytest.param("fused", marks=pytest.mark.slow),
+])
 def test_remesh_pallas_reseed_and_off_branches(remesh):
     """Half-domain winds drive the off (and possibly reseed) branches
     through the fused kernel identically to the XLA selects."""
     from picles_tpu.forcing.winds import half_domain_winds
 
     winds = half_domain_winds(10.0, 5.0, x_split=50e3)
-    mx, mp = _carry_models(winds, n=16, remesh=remesh)
+    # n/steps sized for interpret-mode cost: the off/reseed branches fire
+    # from step 1 on the calm half (asserted below), so 5 steps at 12^2
+    # keep the coverage of the old 8 steps at 16^2 at ~1/3 the wall time
+    mx, mp = _carry_models(winds, n=12, remesh=remesh)
     sx, sp = mx.init_state(), mp.init_state()
     seen_off = seen_reseed = 0
-    for _ in range(8):
+    for _ in range(5):
         sx = mx.step(sx)
         sp = mp.step(sp)
         seen_off += int(sp.metrics.n_off)
@@ -365,7 +392,12 @@ def test_remesh_pallas_reseed_and_off_branches(remesh):
     assert seen_off > 0 or seen_reseed > 0  # the sweep must hit the branches
 
 
-@pytest.mark.parametrize("remesh", ["pallas", "fused"])
+@pytest.mark.parametrize("remesh", [
+    "pallas",
+    # fused remesh-in-gather: exhaustive tier (same branch table is
+    # locked by the [pallas] sibling + test_fused_remesh_boundary_families)
+    pytest.param("fused", marks=pytest.mark.slow),
+])
 def test_remesh_pallas_gridded_winds(remesh):
     import math
 
@@ -462,7 +494,10 @@ def test_pallas_advance_wide_grid_column_tiling():
 
 
 @pytest.mark.parametrize("boundary,halo", [
-    ("tripolar", ((0, 3), (0, 3))),
+    # tripolar variant: exhaustive tier (the seam fold itself is locked by
+    # test_pic_pallas / test_tripolar; this sweep re-runs it through the
+    # fused remesh, whose branch table the nonperiodic case also covers)
+    pytest.param("tripolar", ((0, 3), (0, 3)), marks=pytest.mark.slow),
     ("nonperiodic", ((1, 3), (0, 2))),
 ])
 def test_fused_remesh_boundary_families(boundary, halo):

@@ -65,17 +65,28 @@ def _rtols(cfg):
     return 1e-4
 
 
+# Interpret-mode Pallas goldens are the suite's slowest tests (~40-50 s
+# each on CPU).  The default tier keeps one golden per family: the
+# XLA reference, the full production Pallas stack, and the asymmetric
+# halo.  The intermediate stack stages and the fused-remesh variant are
+# the exhaustive `slow` tier (their kernels stay locked by pallas-full
+# here plus the dedicated kernel-vs-XLA tests in test_advance_pallas /
+# test_pic_pallas); run them with --runslow / PICLES_SLOW=1.
+_slow = pytest.mark.slow
 @pytest.mark.parametrize("cfg", [
     dict(),                                                    # XLA reference
-    dict(advance_mode="pallas", pallas_interpret=True),        # fused advance
-    dict(advance_mode="pallas", pallas_interpret=True,
-         scatter_mode="dense_pallas"),                         # + fused deposit
+    pytest.param(dict(advance_mode="pallas", pallas_interpret=True),
+                 marks=_slow),                                 # fused advance
+    pytest.param(dict(advance_mode="pallas", pallas_interpret=True,
+                      scatter_mode="dense_pallas"),
+                 marks=_slow),                                 # + fused deposit
     dict(advance_mode="pallas", pallas_interpret=True,
          scatter_mode="dense_pallas", dt_reset_mode="carry",
          remesh_mode="pallas"),                                # production stack
-    dict(advance_mode="pallas", pallas_interpret=True,
-         scatter_mode="dense_pallas", dt_reset_mode="carry",
-         remesh_mode="fused"),                    # remesh inside the gather
+    pytest.param(dict(advance_mode="pallas", pallas_interpret=True,
+                      scatter_mode="dense_pallas", dt_reset_mode="carry",
+                      remesh_mode="fused"),
+                 marks=_slow),                    # remesh inside the gather
     dict(halo=((1, 3), (1, 3))),                               # asym capacity
 ], ids=["xla", "pallas-adv", "pallas-adv+scatter", "pallas-full",
         "pallas-fused-remesh", "asym-halo"])
@@ -83,7 +94,12 @@ def test_forced_box_golden(cfg):
     m = _model(**cfg)
     ms = m.init_state()
     rtol_pt = rtol_sum = _rtols(cfg)
-    for k in sorted(GOLDEN):
+    # interpret-mode Pallas configs lock steps 1/3/6 (the kernels' numerics
+    # are step-local; the 12-step accumulated-physics tail stays locked by
+    # the cheap XLA + asym-halo configs, which run all four checkpoints)
+    steps = [k for k in sorted(GOLDEN)
+             if not (cfg.get("pallas_interpret") and k > 6)]
+    for k in steps:
         while int(ms.iteration) < k:
             ms = m.step(ms)
         e, mx, my, sumE = GOLDEN[k]
