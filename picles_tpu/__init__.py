@@ -32,6 +32,8 @@ from .forcing.winds import (GriddedWinds1D, GriddedWinds2D, Winds1D, Winds2D,
                             time_cosine_winds)
 from .grids.base import Boundary, Grid1D, Grid2D, GridStats
 from .grids.cartesian import cartesian_box, cartesian_grid_2d
+from .grids.legacy import (OneDGrid, OneDGridNotes, TwoDGrid, TwoDGridMesh,
+                           TwoDGridNotes)
 from .grids.spherical import spherical_grid_2d
 from .grids.tripolar import (load_mom6_grid, mom6_grid_from_supergrid,
                              synthetic_tripolar_grid)
