@@ -78,6 +78,15 @@ def test_example_03_checkpoint_restart(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "example_03.gif"))
 
 
+def test_example_05_multiprocess():
+    # launcher spawns 2 real OS worker processes (gloo-joined global mesh)
+    # and self-asserts the reassembled field vs a single-process run
+    g = _run("example_05_multiprocess.py")
+    assert np.isfinite(g["field"]).all()
+    assert g["n_active"] == 32 * 32
+    assert g["field"][..., 0].mean() > 0
+
+
 def test_example_04_sharded():
     g = _run("example_04_sharded.py")
     states = g["states"]
