@@ -176,10 +176,15 @@ class GriddedWinds2D:
         if self.t_nodes is not None:
             import numpy as _np
 
-            d = _np.diff(_np.asarray(self.t_nodes, _np.float64))
+            tn = _np.asarray(self.t_nodes, _np.float64)
+            d = _np.diff(tn)
             if d.size == 0:
                 return 1
-            return max(1, int(math.floor(float(DT) / float(d.min()))) + 1)
+            # capped at the record length: a window can straddle at most
+            # ALL node times, so one tiny inter-node gap (near-duplicate
+            # timestamps) must not blow the field tuple up to DT/gap terms
+            return max(1, min(int(math.floor(float(DT) / float(d.min()))) + 1,
+                              int(tn.size)))
         return max(1, int(math.ceil(float(DT) / float(self.dt) - 1e-9)))
 
     def pallas_pwl_fields(self, x, y, t0, DT):
@@ -212,7 +217,12 @@ class GriddedWinds2D:
         and slopes divide by the actual per-segment gaps.  Repeated clamped
         node times (windows straddling the record's ends) get zero slope
         via a safe divide — exactly the clamp-mode interpolant, which is
-        flat there.  ``mode_t='wrap'`` with a node table is not supported
+        flat there.  Precision note: the slope terms scale as
+        ``du * t / gap``, so NEAR-DUPLICATE node times (gap << DT) leave
+        ~``(DT/gap) * eps_f32 * |du|`` of cancellation residue in f32 —
+        exact in exact arithmetic, and bounded in term count because
+        ``n_breakpoints`` caps at the record length.
+        ``mode_t='wrap'`` with a node table is not supported
         on this path (wrap boundaries of an irregular record are not
         frame times of the window enumeration): use the XLA advance path.
         """
@@ -380,6 +390,25 @@ def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
                   np.asarray(v[y_name], np.float64),
                   np.asarray(v[t_name], np.float64))
 
+    def _txy(a):
+        a = np.asarray(a, np.float32)
+        if a.shape == (ts.size, ys.size, xs.size):   # CF [t, y, x]
+            return np.transpose(a, (0, 2, 1))
+        if a.shape == (ts.size, xs.size, ys.size):
+            return a
+        raise ValueError(f"wind variable shape {a.shape} does not match axes")
+
+    u_txy, v_txy = _txy(v[u_name]), _txy(v[v_name])
+
+    # ERA5 stores latitude north-to-south (90..-90); normalize any
+    # strictly DECREASING spatial axis by flipping it and the data along
+    # that axis, so every mode (incl. 'wrap') sees a standard increasing
+    # axis.  A decreasing time axis stays an error.
+    if xs.size > 1 and np.all(np.diff(xs) < 0):
+        xs, u_txy, v_txy = xs[::-1], u_txy[:, ::-1, :], v_txy[:, ::-1, :]
+    if ys.size > 1 and np.all(np.diff(ys) < 0):
+        ys, u_txy, v_txy = ys[::-1], u_txy[:, :, ::-1], v_txy[:, :, ::-1]
+
     def _axis(a, name):
         """(c0, dc, nodes) — nodes is None for a uniform axis."""
         if a.size > 1:
@@ -397,16 +426,8 @@ def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
         ts = ts - ts[0]
     t0, dt, t_nodes = _axis(ts * time_scale, t_name)
 
-    def _txy(a):
-        a = np.asarray(a, np.float32)
-        if a.shape == (ts.size, ys.size, xs.size):   # CF [t, y, x]
-            return np.transpose(a, (0, 2, 1))
-        if a.shape == (ts.size, xs.size, ys.size):
-            return a
-        raise ValueError(f"wind variable shape {a.shape} does not match axes")
-
-    return GriddedWinds2D(u_data=jnp.asarray(_txy(v[u_name])),
-                          v_data=jnp.asarray(_txy(v[v_name])),
+    return GriddedWinds2D(u_data=jnp.asarray(u_txy),
+                          v_data=jnp.asarray(v_txy),
                           x0=x0, dx=dx, y0=y0, dy=dy, t0=t0, dt=dt,
                           mode=mode, mode_t=mode_t,
                           x_nodes=x_nodes, y_nodes=y_nodes, t_nodes=t_nodes)

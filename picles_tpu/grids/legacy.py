@@ -56,6 +56,9 @@ class TwoDGrid:
             raise TypeError("TwoDGrid(dimx, Nx, dimy, Ny) or "
                             "TwoDGrid(xmin, xmax, Nx, ymin, ymax, Ny)")
         Nx, Ny = int(Nx), int(Ny)
+        if Nx < 2 or Ny < 2:
+            raise ValueError(f"TwoDGrid needs Nx, Ny >= 2 (node spacing is "
+                             f"dim/(N-1)); got Nx={Nx}, Ny={Ny}")
         dimx, dimy = float(xmax) - float(xmin), float(ymax) - float(ymin)
         object.__setattr__(self, "Nx", Nx)
         object.__setattr__(self, "Ny", Ny)
@@ -137,6 +140,9 @@ class OneDGrid:
 
     def __init__(self, xmin, xmax, Nx):
         Nx = int(Nx)
+        if Nx < 2:
+            raise ValueError(f"OneDGrid needs Nx >= 2 (node spacing is "
+                             f"dim/(Nx-1)); got Nx={Nx}")
         object.__setattr__(self, "Nx", Nx)
         object.__setattr__(self, "Ndx", Nx - 1)
         object.__setattr__(self, "xmin", float(xmin))

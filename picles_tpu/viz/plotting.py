@@ -129,11 +129,19 @@ def movie_2d(grid, states, path: str, *, winds=None, times=None, fps: int = 8,
     y = np.asarray(grid.y) / 1e3 if cart else np.asarray(grid.y)
     land = np.asarray(grid.mask) == 0
     nt = states.shape[0]
-    t_of = (lambda i: float(times[i])) if times is not None else float
+    if times is not None:
+        t_of = lambda i: float(times[i])            # noqa: E731
+    elif dt is not None:
+        # frames are one store interval apart: sample winds at i * dt
+        # (NOT at t = frame index, which would freeze time-varying winds
+        # near t=0 for every frame)
+        t_of = lambda i: float(i) * float(dt)       # noqa: E731
+    else:
+        t_of = float
 
     def tlabel(i):
-        return (f"time = {t_of(i) / 3600.0:.1f} h" if times is not None
-                else f"frame {i}")
+        return (f"time = {t_of(i) / 3600.0:.1f} h"
+                if times is not None or dt is not None else f"frame {i}")
 
     wp = _wind_pair(winds)
     if wp is None:

@@ -310,3 +310,81 @@ def test_load_gridded_winds_nonuniform_netcdf(tmp_path):
         float(gw.u(xs[0], ym, ts[0])),
         u[0, 1, 0] + (u[0, 2, 0] - u[0, 1, 0])
         * (ym - ys[1]) / (ys[2] - ys[1]), rtol=1e-5)
+
+
+def test_n_breakpoints_capped_by_record_length():
+    """Near-duplicate timestamps in a node-table time axis must not blow
+    up the Pallas field tuple: a window can straddle at most EVERY node,
+    so the breakpoint count is bounded by the record length (not
+    floor(DT / min_gap) + 1, which a 1 s gap would turn into ~DT terms),
+    and the capped decomposition stays exact across the tiny gap."""
+    from picles_tpu.forcing.winds import gridded_pallas_samplers
+
+    rng = np.random.default_rng(11)
+    t_nodes = np.array([0.0, 1.0, 3600.0, 7200.0])  # 1 s inter-node gap
+    nxw = nyw = 4
+    u = rng.uniform(5.0, 12.0, (len(t_nodes), nxw, nyw)).astype(np.float32)
+    v = rng.uniform(-4.0, 4.0, u.shape).astype(np.float32)
+    gw = GriddedWinds2D(
+        u_data=jnp.asarray(u), v_data=jnp.asarray(v),
+        x0=0.0, dx=25e3, y0=0.0, dy=25e3, t0=0.0, dt=1.0,
+        t_nodes=jnp.asarray(t_nodes))
+
+    DT = 900.0
+    B = gw.n_breakpoints(DT)
+    assert B == len(t_nodes)           # capped; uncapped would be 901
+
+    u_k, v_k = gridded_pallas_samplers(B)
+    X, Y = np.meshgrid(np.arange(nxw) * 25e3, np.arange(nyw) * 25e3,
+                       indexing="ij")
+    X, Y = jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
+    # windows: straddling the 1 s gap, interior, clamped end, past the end.
+    # Tolerance is looser than the regular-gap test: the decomposition's
+    # slope terms scale as du * t / gap, so a 1 s gap under f32 leaves
+    # ~(DT/gap) * eps * |du| ~ 1e-3 of cancellation residue (exact in
+    # exact arithmetic; see pallas_pwl_fields docstring).
+    for t0 in (0.0, 0.5, 3000.0, 6800.0, 8000.0):
+        fields = gw.pallas_pwl_fields(X, Y, t0, DT)
+        assert len(fields) == 4 + 3 * B
+        for frac in (0.0, 0.001, 0.3, 0.8, 1.0):
+            tq = jnp.full(X.shape, t0 + frac * DT, jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(u_k(X, Y, tq, *fields)),
+                np.asarray(gw.u(X, Y, tq)), rtol=1e-4, atol=2e-3,
+                err_msg=f"u window t0={t0} frac={frac}")
+            np.testing.assert_allclose(
+                np.asarray(v_k(X, Y, tq, *fields)),
+                np.asarray(gw.v(X, Y, tq)), rtol=1e-4, atol=2e-3,
+                err_msg=f"v window t0={t0} frac={frac}")
+
+
+def test_load_gridded_winds_north_to_south_latitude(tmp_path):
+    """Real ERA5 files store latitude NORTH-TO-SOUTH (90..-90).  The
+    loader flips a strictly decreasing spatial axis (and the data along
+    it) so the file loads and interpolates exactly as its south-to-north
+    mirror."""
+    import h5py
+
+    from picles_tpu.forcing.winds import load_gridded_winds_2d
+
+    nt, ny_, nx_ = 4, 6, 5
+    ts = np.arange(nt) * 3600.0
+    xs = np.linspace(0.0, 40e3, nx_)
+    ys_desc = np.linspace(50e3, 0.0, ny_)          # decreasing, ERA5-style
+    rng = np.random.default_rng(23)
+    u = rng.uniform(5.0, 15.0, (nt, ny_, nx_)).astype(np.float32)
+    path = str(tmp_path / "winds_n2s.nc")
+    with h5py.File(path, "w") as f:
+        f["u10"], f["v10"] = u, -u
+        f["longitude"], f["latitude"], f["time"] = xs, ys_desc, ts
+    gw = load_gridded_winds_2d(path)
+    assert gw.y_nodes is None and gw.dy > 0        # flipped to uniform asc.
+    # every node sample maps back to the original [t, lat, lon] value
+    for (k, j, i) in [(0, 0, 0), (1, 4, 2), (3, 5, 4), (2, 2, 1)]:
+        np.testing.assert_allclose(
+            float(gw.u(xs[i], ys_desc[j], ts[k])), u[k, j, i], rtol=1e-6)
+    # midpoint between two latitude rows interpolates linearly
+    ym = 0.5 * (ys_desc[1] + ys_desc[2])
+    np.testing.assert_allclose(
+        float(gw.u(xs[0], ym, ts[0])),
+        0.5 * (u[0, 1, 0] + u[0, 2, 0]), rtol=1e-5)

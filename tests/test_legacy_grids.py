@@ -82,3 +82,18 @@ def test_legacy_grid_nonzero_origin_translates():
         sb = mb.step(sb)
     np.testing.assert_allclose(np.asarray(sa.state), np.asarray(sb.state),
                                rtol=1e-6)
+
+
+def test_legacy_grids_reject_degenerate_node_counts():
+    """Nx/Ny < 2 is a clear ValueError, not a ZeroDivisionError from the
+    dx = dim/(N-1) spacing computation."""
+    import pytest
+
+    from picles_tpu.grids.legacy import OneDGrid, TwoDGrid
+
+    with pytest.raises(ValueError, match="Nx, Ny >= 2"):
+        TwoDGrid(100e3, 1, 100e3, 4)
+    with pytest.raises(ValueError, match="Nx, Ny >= 2"):
+        TwoDGrid(0.0, 100e3, 5, 0.0, 100e3, 1)
+    with pytest.raises(ValueError, match="Nx >= 2"):
+        OneDGrid(0.0, 1e3, 1)

@@ -108,3 +108,34 @@ def test_movie_dashboard_multi_panel(tmp_path):
     V.movie_2d(grid, np.asarray(states), p1,
                times=np.arange(1, 5) * 600.0)
     assert os.path.getsize(p) > os.path.getsize(p1)
+
+
+def test_movie_dashboard_dt_drives_wind_sample_times(tmp_path):
+    """With ``dt`` given and no explicit ``times``, the dashboard samples
+    winds at t = frame_index * dt (NOT t = frame index, which would
+    freeze time-varying winds near t=0 for every frame)."""
+    from picles_tpu.forcing.winds import Winds2D
+
+    grid = cartesian_box(100e3, 9, 100e3, 9, periodic_boundary=(True, True))
+    model = WaveGrowth2D(grid, constant_winds(10.0, 5.0), _sett(),
+                         config=WaveGrowth2DConfig(periodic_boundary=True))
+    ms = model.init_state()
+    ms, states = model.step_n(ms, 3)
+
+    seen = []
+
+    def u(x, y, t):
+        seen.append(float(np.max(np.asarray(t))))
+        return np.full(np.shape(x), 10.0)
+
+    def v(x, y, t):
+        return np.zeros(np.shape(x))
+
+    p = str(tmp_path / "dt_movie.gif")
+    V.movie_2d(grid, np.asarray(states), p, winds=Winds2D(u=u, v=v),
+               dt=600.0)
+    assert os.path.getsize(p) > 1000
+    # last frame samples winds at (nt-1) * dt seconds, never at t = index
+    nt = np.asarray(states).shape[0]
+    assert max(seen) == (nt - 1) * 600.0
+    assert 1.0 not in seen and float(nt - 1) not in seen
