@@ -281,6 +281,18 @@ class WaveGrowth1D:
 
         return jax.lax.scan(body, ms, None, length=n)
 
+    @partial(jax.jit, static_argnums=(0, 3))
+    def step_n_buffered(self, ms: ModelState1D, n, capacity: int):
+        """Traced-trip-count step_n (see WaveGrowth2D.step_n_buffered)."""
+        buf = jnp.zeros((capacity,) + ms.state.shape, ms.state.dtype)
+
+        def body(i, c):
+            s, b = c
+            s2 = self.step(s)
+            return s2, jax.lax.dynamic_update_index_in_dim(b, s2.state, i, 0)
+
+        return jax.lax.fori_loop(0, n, body, (ms, buf))
+
     @partial(jax.jit, static_argnums=(0,))
     def step_n_quiet(self, ms: ModelState1D, n) -> ModelState1D:
         """n steps with no per-step output (O(state) memory; the storeless

@@ -281,6 +281,23 @@ class WaveGrowth2D:
             return u_k, v_k, fields
         return self.winds.u, self.winds.v, ()
 
+    def _auto_dt_pallas_fits(self, grid, ny: int) -> bool:
+        """Whether the row-tiled auto-dt kernel fits VMEM at this width.
+
+        ``advance_pallas`` auto-engages 2D column tiling on ultra-wide
+        grids, but the auto-dt and remesh kernels are row-tiled only —
+        on a grid too wide for them the DEFAULT config (advance "auto"
+        -> pallas, dt_reset_mode "auto") must fall back to the XLA
+        Hairer estimate instead of raising from ``auto_block_x``.
+        Explicitly-requested kernels (``pallas_block_x`` set,
+        remesh_mode "pallas"/"fused") still fail loudly."""
+        from ..ops.pallas_util import fits_row_tiling
+
+        if self.config.pallas_block_x > 0:
+            return True  # user-pinned block: let the kernel validate it
+        n_wf = 0 if self.gridded_winds is None else 4 + 3 * self._wind_B
+        return fits_row_tiling(ny, 64 + 2 * n_wf)
+
     # ------------------------------------------------------------------
     # seeding
     # ------------------------------------------------------------------
@@ -532,7 +549,8 @@ class WaveGrowth2D:
             # the error controller re-shrinks it if the reseeded state needs
             # smaller steps.  Skips the auto_dt RHS evaluations entirely.
             dt = jnp.clip(dt, sett.dtmin, DT)
-        elif cfg.advance_mode == "pallas":
+        elif cfg.advance_mode == "pallas" and self._auto_dt_pallas_fits(
+                grid, t.shape[-1]):
             from ..ops.advance_pallas import auto_dt_pallas
             from ..ops.rhs import make_rhs_consts
 
@@ -632,7 +650,8 @@ class WaveGrowth2D:
             px, py, charge, scatter_on,
             lne, cgx, cgy, px, py, dt, on, active, boundary,
             grid.x, grid.y, ms.time, grid.stats, cfg.halo,
-            wind_fields=wind_fields, interpret=cfg.pallas_interpret)
+            wind_fields=wind_fields, interpret=cfg.pallas_interpret,
+            clip_dt=bool(sett.adaptive))
 
         br = rm.branch
         metrics = self._build_metrics(
@@ -678,7 +697,8 @@ class WaveGrowth2D:
             grid.x, grid.y, ms.time, wind_fields=wind_fields,
             block_x=cfg.pallas_block_x, interpret=cfg.pallas_interpret,
             boundary_defaults=bdefaults,
-            boundary_source=self._boundary_source)
+            boundary_source=self._boundary_source,
+            clip_dt=bool(sett.adaptive))
 
         br = rm.branch
         metrics = self._build_metrics(
@@ -781,6 +801,22 @@ class WaveGrowth2D:
 
         return jax.lax.scan(body, ms, None, length=n)
 
+    @partial(jax.jit, static_argnums=(0, 3))
+    def step_n_buffered(self, ms: ModelState2D, n, capacity: int):
+        """``step_n`` with a TRACED trip count into a static-``capacity``
+        buffer: the chunked store path's final ragged chunk (e.g. 33 of
+        64) reuses the same compiled executable as the full chunks
+        instead of paying a second full-scan compile (rows past ``n``
+        stay zero; the driver slices ``[:n]``)."""
+        buf = jnp.zeros((capacity,) + ms.state.shape, ms.state.dtype)
+
+        def body(i, c):
+            s, b = c
+            s2 = self.step(s)
+            return s2, jax.lax.dynamic_update_index_in_dim(b, s2.state, i, 0)
+
+        return jax.lax.fori_loop(0, n, body, (ms, buf))
+
     @partial(jax.jit, static_argnums=(0,))
     def step_n_quiet(self, ms: ModelState2D, n) -> ModelState2D:
         """n steps with NO per-step output: peak memory stays O(state)
@@ -866,6 +902,18 @@ class LayeredWaveGrowth2D:
             return nxt, nxt.state
 
         return jax.lax.scan(body, ms, None, length=n)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def step_n_buffered(self, ms: ModelState2D, n, capacity: int):
+        """Traced-trip-count step_n (see WaveGrowth2D.step_n_buffered)."""
+        buf = jnp.zeros((capacity,) + ms.state.shape, ms.state.dtype)
+
+        def body(i, c):
+            s, b = c
+            s2 = self.step(s)
+            return s2, jax.lax.dynamic_update_index_in_dim(b, s2.state, i, 0)
+
+        return jax.lax.fori_loop(0, n, body, (ms, buf))
 
     @partial(jax.jit, static_argnums=(0,))
     def step_n_quiet(self, ms: ModelState2D, n) -> ModelState2D:

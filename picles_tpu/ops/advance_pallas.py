@@ -99,9 +99,16 @@ def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
         failed = failed_i != 0
         live = ~done
         remaining = t_end - t
-        dt_try = jnp.clip(dt, config.dtmin,
-                          jnp.maximum(remaining, config.dtmin))
-        at_dtmin = dt_try <= config.dtmin * (1.0 + 1e-8)
+        # spacing-aware floor: a dt below ulp(t) cannot advance the f32
+        # clock (t + dt rounds to t), so forced-dtmin steps at large model
+        # time would spin to maxiters — mirror of tsit5.integrate_to
+        dtmin_eff = jnp.maximum(
+            config.dtmin,
+            4.0 * jnp.finfo(t.dtype).eps
+            * jnp.maximum(jnp.abs(t), jnp.abs(t_end)))
+        dt_try = jnp.clip(dt, dtmin_eff,
+                          jnp.maximum(remaining, dtmin_eff))
+        at_dtmin = dt_try <= dtmin_eff * (1.0 + 1e-8)
 
         z = (lne, cgx, cgy, px, py)
         method = METHODS[config.method]
@@ -152,7 +159,7 @@ def _advance_kernel(u_wind, v_wind, consts: RHSConsts, flags: TermFlags,
             factor = jnp.clip(q, _QMIN, _QMAX)
             dt_next = jnp.where(accept, dt_try * factor,
                                 jnp.maximum(dt_try * jnp.clip(q, _QMIN, 1.0),
-                                            config.dtmin))
+                                            dtmin_eff))
         else:
             # fixed-substep mode (ODESettings.adaptive=False): accept every
             # step, dt carried unchanged (see tsit5.integrate_to)

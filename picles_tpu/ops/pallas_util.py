@@ -48,7 +48,7 @@ def auto_block_x(ny: int, n_buffers: int, *, dtype_bytes: int = 4,
     # message instead of an opaque Mosaic AOT OOM.
     hard_limit = 16 * 1024 * 1024
     if bx * per_row > hard_limit:
-        raise ValueError(
+        raise ValueError(  # callers with a fallback: see fits_row_tiling
             f"grid too wide for row-tiled Pallas kernels: ny={ny} needs "
             f"{bx * per_row / 2**20:.1f} MB of scoped VMEM at the minimum "
             f"8-row block ({n_buffers} buffers x {ny_lanes} lanes), above "
@@ -56,6 +56,16 @@ def auto_block_x(ny: int, n_buffers: int, *, dtype_bytes: int = 4,
             f"(advance_mode='xla', scatter_mode='dense') or shard the y "
             f"axis over the device mesh (picles_tpu.parallel).")
     return bx
+
+
+def fits_row_tiling(ny: int, n_buffers: int, *, dtype_bytes: int = 4) -> bool:
+    """True when an 8-row full-width block of ``n_buffers`` f32 streams
+    fits the 16 MB scoped-VMEM limit — the predicate behind
+    ``auto_block_x``'s error, for callers that have a graceful fallback
+    (e.g. the model's auto-dt path drops to the XLA estimate on
+    ultra-wide grids instead of raising from the default config)."""
+    ny_lanes = ((ny + 127) // 128) * 128
+    return 8 * ny_lanes * n_buffers * dtype_bytes <= 16 * 1024 * 1024
 
 
 def col_block(ny: int, n_buffers: int, *, dtype_bytes: int = 4,

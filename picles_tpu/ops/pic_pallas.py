@@ -376,7 +376,8 @@ def _accum_remesh_kernel(u_wind, v_wind, defaults, bdefaults,
                          boundary_source: bool, timestep: float,
                          minimal_e: float, minimal_m2: float,
                          wind_min_squared: float, dtmin: float, n_wf: int,
-                         xl, xh, yl, yh, PADR, PADC, bp, bc, *refs):
+                         xl, xh, yl, yh, PADR, PADC, bp, bc, *refs,
+                         clip_dt: bool = True):
     from .remesh_pallas import remesh_core
 
     (time_ref,) = refs[:1]   # SMEM (1, 1) model clock
@@ -400,7 +401,7 @@ def _accum_remesh_kernel(u_wind, v_wind, defaults, bdefaults,
         acc0, acc1, acc2,
         lne_ref[:], cgx_ref[:], cgy_ref[:], px_ref[:], py_ref[:], dt_ref[:],
         on_ref[:] != 0, act_ref[:] != 0, bnd_ref[:] != 0,
-        xn_ref[:], yn_ref[:], time_ref[0, 0], wf)
+        xn_ref[:], yn_ref[:], time_ref[0, 0], wf, clip_dt=clip_dt)
     for ref, val in zip((lne_o, cgx_o, cgy_o, px_o, py_o, dt_o, on_o, br_o),
                         outs):
         ref[:] = val
@@ -414,7 +415,8 @@ def scatter_remesh_fused(
         lne, cgx, cgy, px, py, dt, on, active, boundary, xn, yn,
         time_scalar, stats, halo, *,
         wind_fields: Tuple[jnp.ndarray, ...] = (),
-        block_x: int = 64, block_y: int = 0, interpret: bool = False):
+        block_x: int = 64, block_y: int = 0, interpret: bool = False,
+        clip_dt: bool = True):
     """Boundary-folded CIC deposit + remesh state machine in ONE kernel.
 
     The separate remesh (XLA selects or the standalone kernel) re-reads
@@ -465,7 +467,8 @@ def scatter_remesh_fused(
         _accum_remesh_kernel, u_wind, v_wind, defaults, bdefaults,
         boundary_source, timestep, minimal_e, minimal_m2, wind_min_squared,
         dtmin, len(wind_fields),
-        g["kxl"], g["kxh"], g["kyl"], g["kyh"], g["PADR"], g["PADC"], bp, bc)
+        g["kxl"], g["kxh"], g["kyl"], g["kyh"], g["PADR"], g["PADC"], bp, bc,
+        clip_dt=clip_dt)
     outs = pl.pallas_call(
         kernel, grid=(nx_pad // bp, ny_pad // bc),
         in_specs=in_specs,

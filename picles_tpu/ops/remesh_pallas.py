@@ -52,10 +52,11 @@ def remesh_core(u_wind: Callable, v_wind: Callable, defaults, bdefaults,
                 timestep: float, minimal_e: float, minimal_m2: float,
                 wind_min_squared: float, dtmin: float,
                 e_n, mx_n, my_n, lne, cgx, cgy, px, py, dt,
-                on, active, boundary, xn, yn, t_i, wf):
+                on, active, boundary, xn, yn, t_i, wf, clip_dt: bool = True):
     """The remesh branch table on plain arrays (usable inside any Pallas
     kernel as well as the standalone one below).  ``on/active/boundary``
-    are bool arrays; returns (lne, cgx, cgy, px, py, dt, on_i32, branch)."""
+    are bool arrays; returns (lne, cgx, cgy, px, py, dt, on_i32, branch).
+    ``clip_dt=False`` carries dt untouched (fixed-substep mode)."""
     u_i = u_wind(xn, yn, t_i, *wf)
     v_i = v_wind(xn, yn, t_i, *wf)
     u_i = jnp.broadcast_to(jnp.asarray(u_i, lne.dtype), lne.shape)
@@ -70,13 +71,11 @@ def remesh_core(u_wind: Callable, v_wind: Callable, defaults, bdefaults,
     reseed = part & ~gather & (wind2 >= wind_min_squared)
     go_off = part & ~gather & ~reseed
 
-    # node -> particle transform (transforms.node_to_particle semantics)
-    tiny = jnp.asarray(1e-30, lne.dtype)
-    m2s = jnp.maximum(m2_n, tiny)
-    e_safe = jnp.maximum(e_n, tiny)
-    lne_g = jnp.log(e_safe)
-    cgx_g = mx_n * e_safe / (2.0 * m2s)
-    cgy_g = my_n * e_safe / (2.0 * m2s)
+    # node -> particle transform — the shared elementwise function is
+    # Pallas-safe, so both remesh backends literally run the same code
+    from .transforms import node_to_particle
+
+    lne_g, cgx_g, cgy_g = node_to_particle(e_n, mx_n, my_n)
 
     def _seed_vals(d):
         if d is None:
@@ -101,8 +100,11 @@ def remesh_core(u_wind: Callable, v_wind: Callable, defaults, bdefaults,
     moved = gather | reseed
     px_r = jnp.where(moved, 0.0, px)
     py_r = jnp.where(moved, 0.0, py)
-    # warm-restart dt (dt_reset_mode="carry")
-    dt_r = jnp.clip(dt, dtmin, timestep)
+    # warm-restart dt (dt_reset_mode="carry"); fixed-substep mode
+    # (ODESettings.adaptive=False) carries dt untouched, mirroring the
+    # XLA tail's `if not sett.adaptive: pass` (wave_growth_2d.py) so both
+    # remesh backends take identical substep sequences
+    dt_r = jnp.clip(dt, dtmin, timestep) if clip_dt else dt
     # Mosaic cannot select between i1 vectors: do it in i32
     on_r = jnp.where(part, moved.astype(jnp.int32), on.astype(jnp.int32))
     br = (jnp.where(gather, GATHER_BIT, 0)
@@ -115,7 +117,7 @@ def _remesh_kernel(u_wind: Callable, v_wind: Callable, defaults, bdefaults,
                    boundary_source: bool,
                    timestep: float, minimal_e: float, minimal_m2: float,
                    wind_min_squared: float, dtmin: float, n_wf: int,
-                   *refs):
+                   *refs, clip_dt: bool = True):
     (time_ref,) = refs[:1]  # SMEM (1, 1) model clock
     (e_ref, mx_ref, my_ref, lne_ref, cgx_ref, cgy_ref, px_ref, py_ref,
      dt_ref, on_ref, act_ref, bnd_ref, xn_ref, yn_ref) = refs[1:15]
@@ -128,7 +130,7 @@ def _remesh_kernel(u_wind: Callable, v_wind: Callable, defaults, bdefaults,
         e_ref[:], mx_ref[:], my_ref[:],
         lne_ref[:], cgx_ref[:], cgy_ref[:], px_ref[:], py_ref[:], dt_ref[:],
         on_ref[:] != 0, act_ref[:] != 0, bnd_ref[:] != 0,
-        xn_ref[:], yn_ref[:], time_ref[0, 0], wf)
+        xn_ref[:], yn_ref[:], time_ref[0, 0], wf, clip_dt=clip_dt)
     for ref, val in zip((lne_o, cgx_o, cgy_o, px_o, py_o, dt_o, on_o, br_o),
                         outs):
         ref[:] = val
@@ -145,7 +147,8 @@ def remesh_pallas(u_wind: Callable, v_wind: Callable,
                   block_x: int = 0,
                   interpret: bool = False,
                   boundary_defaults="same",
-                  boundary_source: bool = False) -> RemeshResult:
+                  boundary_source: bool = False,
+                  clip_dt: bool = True) -> RemeshResult:
     """Fused remesh over [nx, ny] planes.
 
     ``defaults``: None for windsea reseeding, or (lne, cgx, cgy) floats for
@@ -189,7 +192,8 @@ def remesh_pallas(u_wind: Callable, v_wind: Callable,
     kernel = functools.partial(_remesh_kernel, u_wind, v_wind, defaults,
                                boundary_defaults, boundary_source,
                                timestep, minimal_e, minimal_m2,
-                               wind_min_squared, dtmin, len(wind_fields))
+                               wind_min_squared, dtmin, len(wind_fields),
+                               clip_dt=clip_dt)
     outs = pl.pallas_call(
         kernel, grid=grid,
         in_specs=[smem] + [spec() for _ in ins[1:]],

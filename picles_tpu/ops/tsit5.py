@@ -216,13 +216,24 @@ def integrate_to(rhs: Callable, z0: jnp.ndarray, t0: jnp.ndarray,
     def cond(c: Carry):
         return (~jnp.all(c.done)) & (c.iters < config.maxiters)
 
+    # f32 clocks: a dt below ulp(t) cannot advance t (t + dt rounds back
+    # to t), so a forced-dtmin step at large model time would mutate z at
+    # a frozen clock and spin the loop to maxiters.  The effective floor
+    # is spacing-aware: max(dtmin, 4 ulp(t)) guarantees every accepted
+    # step makes progress.  Normal paths are unaffected (dt >> this floor
+    # everywhere outside near-failure regimes).
+    eps_t = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
     def body(c: Carry):
         live = ~c.done
         remaining = t_end - c.t
+        dtmin_eff = jnp.maximum(
+            jnp.asarray(config.dtmin, dtype),
+            4.0 * eps_t * jnp.maximum(jnp.abs(c.t), jnp.abs(t_end)))
         # clip to hit t_end exactly; keep a floor so masked-out lanes
         # don't divide by zero anywhere.
-        dt_try = jnp.clip(c.dt, config.dtmin, jnp.maximum(remaining, config.dtmin))
-        at_dtmin = dt_try <= config.dtmin * (1.0 + 1e-8)
+        dt_try = jnp.clip(c.dt, dtmin_eff, jnp.maximum(remaining, dtmin_eff))
+        at_dtmin = dt_try <= dtmin_eff * (1.0 + 1e-8)
 
         z_new, err, k7 = rk_step(method, rhs, c.t, c.z, dt_try, aux, k1=c.k1)
         if config.adaptive:
@@ -242,7 +253,7 @@ def integrate_to(rhs: Callable, z0: jnp.ndarray, t0: jnp.ndarray,
             factor = jnp.clip(q, _QMIN, _QMAX)
             dt_next = jnp.where(accept, dt_try * factor,
                                 jnp.maximum(dt_try * jnp.clip(q, _QMIN, 1.0),
-                                            config.dtmin))
+                                            dtmin_eff))
         else:
             # fixed-substep: every step accepted, dt carried unchanged
             # (non-finite states fall through to the model's NaN guards,

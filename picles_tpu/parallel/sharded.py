@@ -140,8 +140,22 @@ class ShardedWaveGrowth2D:
         st = model.grid.stats
         nxd, nyd = self.nx_dev, self.ny_dev
 
-        Pacc, stats = pic.scatter_accumulate_padded(xrel, yrel, charge, act,
-                                                    model.config.halo)
+        cfg = model.resolved_config()
+        if cfg.scatter_mode == "dense_pallas":
+            # same padded planes from the fused kernel (single pass over
+            # the particle windows) instead of the (2H+1)^2 shifted-add
+            # XLA accumulate — the sharded TPU step keeps the production
+            # deposit backend; the ppermute exchange below is unchanged
+            from ..ops.pic_pallas import scatter_accumulate_padded_pallas
+
+            kw = ({"block_x": cfg.pallas_block_x}
+                  if cfg.pallas_block_x > 0 else {})
+            Pacc, stats = scatter_accumulate_padded_pallas(
+                xrel, yrel, charge, act, model.config.halo,
+                interpret=cfg.pallas_interpret, **kw)
+        else:
+            Pacc, stats = pic.scatter_accumulate_padded(
+                xrel, yrel, charge, act, model.config.halo)
         nxl = Pacc.shape[0] - xl - xh
         nyl = Pacc.shape[1] - yl - yh
 

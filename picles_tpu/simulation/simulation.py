@@ -63,8 +63,9 @@ class Simulation:
         """Reference reset_simulation! (run.jl:154-181)."""
         self.initialize()
         self.run_wall_time = 0.0
-        if isinstance(self.store, StateStore):
-            self.store.reset()
+        # every store kind resets (a kept CashStore would otherwise append
+        # the next run's history after the previous one's snapshots)
+        self.store.reset()
 
     def pickup(self, path: str) -> None:
         """Resume from a checkpoint (the reference's run!(pickup=...) is a
@@ -86,12 +87,16 @@ class Simulation:
 
     # -- stores --------------------------------------------------------
 
-    def init_state_store(self, path: str, name: str = "state") -> StateStore:
+    def init_state_store(self, path: str, name: str = "state",
+                         replace: bool = True) -> StateStore:
         """Reference init_state_store! (storing.jl:83-102).
 
         Layered models (``model.layers > 1``) store
         ``[time, layer, x, y, state]`` (the reference's 4D State,
-        WaveGrowthModels2D.jl:112-119)."""
+        WaveGrowthModels2D.jl:112-119).  ``replace=False`` re-attaches an
+        existing file in append mode (checkpoint-resume legs): the run
+        loop aligns the write cursor to the resumed state's iteration, so
+        the resumed history lands on its time-correct rows."""
         g = self.model.grid
         nsteps = self.n_steps()
         coords = dict(
@@ -104,7 +109,7 @@ class Simulation:
         if g.x.ndim == 2:
             coords["y"] = np.asarray(jax.device_get(g.y[0, :]))
         coords["state"] = ["e", "m_x", "m_y"]
-        self.store = StateStore(path, coords, name=name)
+        self.store = StateStore(path, coords, name=name, replace=replace)
         return self.store
 
     # -- main loop -----------------------------------------------------
@@ -135,6 +140,14 @@ class Simulation:
 
         use_store = store or cash_store
         if use_store:
+            if isinstance(self.store, StateStore):
+                # time-align the write cursor with the model clock: a
+                # resumed state (pickup, or a second run() continuing a
+                # wall-time-limited first) at iteration k belongs at row k
+                # (t = k * dt), not wherever the cursor happens to be —
+                # and a continuing run rewrites row k with the identical
+                # boundary state instead of duplicating it one row later
+                self.store.iteration = int(self.state.iteration)
             self.store.push(self.state.state)  # initial state write
 
         remaining = self.n_steps() - int(self.state.iteration)
@@ -153,9 +166,17 @@ class Simulation:
             # so peak memory is O(chunk * state) for any horizon
             chunk = chunk_size or 64
             done = 0
+            # buffered variant (traced trip count into a static-capacity
+            # buffer): the final ragged chunk reuses the full chunks'
+            # compilation instead of paying a second full-scan compile
+            buffered = getattr(self.model, "step_n_buffered", None)
             while done < remaining:
                 n = min(chunk, remaining - done)
-                self.state, states = self.model.step_n(self.state, n)
+                if buffered is not None:
+                    self.state, states = buffered(self.state, n, chunk)
+                    states = states[:n]
+                else:
+                    self.state, states = self.model.step_n(self.state, n)
                 if hasattr(self.store, "push_block"):
                     self.store.push_block(states)
                 else:

@@ -29,6 +29,9 @@ class EmptyStore:
     def push(self, state) -> None:
         pass
 
+    def reset(self) -> None:
+        pass
+
     def close(self) -> None:
         pass
 
@@ -43,6 +46,10 @@ class CashStore:
     def push(self, state) -> None:
         self.store.append(np.asarray(jax.device_get(state)))
         self.iteration += 1
+
+    def reset(self) -> None:
+        self.store.clear()
+        self.iteration = 0
 
     def close(self) -> None:
         pass
@@ -62,8 +69,19 @@ class StateStore:
         fpath = os.path.join(path, name + ".h5")
         if replace and os.path.exists(fpath):
             os.remove(fpath)
-        self.file = h5py.File(fpath, "w")
         self.path = fpath
+        if not replace and os.path.exists(fpath):
+            # re-attach an existing history (checkpoint-resume legs): open
+            # append-mode and bind the layout; the run loop aligns the
+            # write cursor to the resumed state's iteration
+            self.file = h5py.File(fpath, "a")
+            grp = self.file["waves"]
+            self.data = grp["data"]
+            self.group = grp
+            self.iteration = 0
+            self.shape = self.data.shape
+            return
+        self.file = h5py.File(fpath, "w")
         shape = tuple(len(v) for v in coords.values())
         grp = self.file.create_group("waves")
         self.data = grp.create_dataset("data", shape, dtype="f8")

@@ -556,3 +556,66 @@ def test_fused_requires_dense_pallas_scatter():
                                                pallas_interpret=True))
     with pytest.raises(ValueError, match="dense_pallas"):
         m.step(m.init_state())
+
+
+@pytest.mark.parametrize("remesh", ["pallas", "fused"])
+def test_remesh_pallas_fixed_substep_carries_dt_unclipped(remesh):
+    """ODESettings.adaptive=False: the Pallas/fused remesh must carry dt
+    untouched like the XLA tail's `if not sett.adaptive: pass` — a
+    fixed sub-step configured outside [dtmin, DT] (here 2*DT) previously
+    came back clipped to DT from the fused kernels only, breaking the
+    identical-backends contract on the dt plane."""
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0,
+                       dt=2 * DT,              # deliberate: outside [dtmin, DT]
+                       dtmin=1e-4, force_dtmin=True, adaptive=False)
+    grid = cartesian_box(100e3, 8, 100e3, 8, periodic_boundary=(True, True))
+    scatter = "dense_pallas" if remesh == "fused" else "auto"
+    mk = lambda rm: WaveGrowth2D(  # noqa: E731
+        grid, constant_winds(10.0, 5.0), sett,
+        config=WaveGrowth2DConfig(periodic_boundary=True,
+                                  advance_mode="pallas",
+                                  scatter_mode=scatter,
+                                  dt_reset_mode="carry",
+                                  remesh_mode=rm,
+                                  pallas_interpret=True))
+    mx, mp = mk("xla"), mk(remesh)
+    sx, sp = mx.init_state(), mp.init_state()
+    for _ in range(2):
+        sx, sp = mx.step(sx), mp.step(sp)
+    # both backends carry the configured fixed sub-step verbatim
+    np.testing.assert_array_equal(np.asarray(sp.particles.dt),
+                                  np.full((8, 8), 2 * DT, np.float32))
+    np.testing.assert_array_equal(np.asarray(sx.particles.dt),
+                                  np.asarray(sp.particles.dt))
+    np.testing.assert_allclose(np.asarray(sp.state), np.asarray(sx.state),
+                               rtol=2e-6, atol=1e-9)
+
+
+def test_auto_dt_falls_back_to_xla_on_ultra_wide_grid():
+    """ny too wide even for the auto-dt kernel's 8-row block (> 8192
+    lanes at its 64-buffer stack): the DEFAULT config (dt_reset "auto")
+    must fall back to the XLA Hairer estimate instead of raising from
+    auto_block_x — the advance kernel itself column-tiles fine."""
+    from picles_tpu.ops.pallas_util import fits_row_tiling
+
+    ny = 8320
+    assert not fits_row_tiling(ny, 64)       # auto-dt kernel cannot tile
+    DT = 600.0
+    ws = FR.MinimalWindsea(10.0, 10.0, DT)
+    sett = ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
+                       timestep=DT, total_time=6 * 24 * 3600.0, dt=1e-3,
+                       dtmin=1e-4, force_dtmin=True)
+    grid = cartesian_box(14e3, 8, 2e3 * (ny - 1), ny,
+                         periodic_boundary=(True, True))
+    m = WaveGrowth2D(grid, constant_winds(10.0, 5.0), sett,
+                     config=WaveGrowth2DConfig(periodic_boundary=True,
+                                               advance_mode="pallas",
+                                               dt_reset_mode="auto",
+                                               pallas_interpret=True))
+    ms = m.init_state()
+    ms = m.step(ms)                          # raised ValueError before
+    assert int(ms.metrics.n_failed) == 0
+    assert np.all(np.isfinite(np.asarray(ms.state)))

@@ -177,18 +177,22 @@ def test_stored_run_default_is_bounded_chunks():
     dispatch at 64 steps (reference stores once per step and never stacks,
     run.jl:94-112)."""
     sim = _sim(stop_time=24 * 3600.0)   # 145 steps — production-shaped horizon
-    dispatched = []
-    inner = sim.model.step_n
+    dispatched, capacities = [], []
+    inner = sim.model.step_n_buffered
 
-    def spy(state, n):
+    def spy(state, n, capacity):
         dispatched.append(n)
-        return inner(state, n)
+        capacities.append(capacity)
+        return inner(state, n, capacity)
 
-    sim.model.step_n = spy
+    sim.model.step_n_buffered = spy
     sim.run(cash_store=True)
-    assert dispatched, "store path did not go through step_n"
+    assert dispatched, "store path did not go through step_n_buffered"
     assert max(dispatched) <= 64, dispatched
     assert sum(dispatched) == 145
+    # one static buffer capacity across full AND ragged chunks -> the
+    # ragged tail reuses the same compiled executable
+    assert set(capacities) == {64}, capacities
     # store holds initial write + every step, same as per-step storing
     assert len(sim.store.store) == 146
     assert int(sim.state.iteration) == 145
@@ -233,3 +237,108 @@ def test_callbacks_run_per_chunk_and_nan_checker_halts():
     sim3.callbacks["nan_check"] = poison_then_check
     with pytest.raises(FloatingPointError):
         sim3.run(chunk_size=2)
+
+
+def test_store_rows_time_aligned_after_pickup(tmp_path):
+    """A resumed run writes its history at the time-correct store rows:
+    the resumed state (iteration k) lands at row k, not at row 0 with
+    every later row shifted by k*dt (code-review r5 finding)."""
+    # uninterrupted reference history: 6 DTs -> 7 steps + initial = 8 rows
+    ref = _sim(stop_time=3600.0)
+    ref.initialize()
+    ref.init_state_store(str(tmp_path / "ref"))
+    ref.run(store=True)
+    ref.store.close()
+    with h5py.File(os.path.join(str(tmp_path), "ref", "state.h5")) as f:
+        full = f["waves/data"][:]
+
+    # leg 1: store sized for the FULL horizon, stop after 2 DTs, checkpoint
+    leg1 = _sim(stop_time=3600.0)
+    leg1.initialize()
+    leg1.init_state_store(str(tmp_path / "resumed"))
+    leg1.stop_time = 1200.0
+    leg1.run(store=True)
+    k = int(leg1.state.iteration)
+    ckpt = leg1.checkpoint(str(tmp_path / "ck.npz"))
+    leg1.store.close()
+
+    # leg 2: pickup, re-attach the SAME file append-mode, finish horizon
+    leg2 = _sim(stop_time=3600.0)
+    leg2.pickup(ckpt)
+    leg2.init_state_store(str(tmp_path / "resumed"), replace=False)
+    leg2.run(store=True)
+    leg2.store.close()
+
+    with h5py.File(os.path.join(str(tmp_path), "resumed", "state.h5")) as f:
+        resumed = f["waves/data"][:]
+    # bit-exact checkpoint + deterministic steps -> identical history,
+    # row-for-row (leg 2 rewrote row k with the identical boundary state)
+    assert resumed.shape == full.shape
+    np.testing.assert_array_equal(resumed, full)
+    assert k < full.shape[0] - 1        # the resume really was mid-horizon
+
+
+def test_run_twice_continuation_overwrites_boundary_row(tmp_path):
+    """run() -> raise stop_time -> run() again continues the SAME store
+    without duplicating the boundary frame one row later."""
+    ref = _sim(stop_time=3000.0)
+    ref.run(cash_store=True)
+    full = ref.store.as_array()
+
+    sim = _sim(stop_time=3000.0)
+    sim.initialize()
+    # store sized for the final horizon; first leg stops early
+    sim.init_state_store(str(tmp_path))
+    sim.stop_time = 1200.0
+    sim.run(store=True)
+    sim.stop_time = 3000.0
+    sim.run(store=True)
+    sim.store.close()
+    with h5py.File(os.path.join(str(tmp_path), "state.h5")) as f:
+        got = f["waves/data"][:]
+    assert got.shape == full.shape
+    np.testing.assert_allclose(got, full, rtol=0, atol=0)
+
+
+def test_reset_clears_cash_store():
+    """reset() must clear a CashStore too, or the next run's history is
+    appended after the previous one's snapshots."""
+    sim = _sim(stop_time=1200.0)
+    sim.run(cash_store=True)
+    n_rows = len(sim.store.store)
+    sim.reset()
+    sim.run(store=False, cash_store=False)
+    # the old cash store must not have grown during the second run
+    assert isinstance(sim.store, CashStore)
+    assert len(sim.store.store) == 0 or len(sim.store.store) == n_rows
+    sim2 = _sim(stop_time=1200.0)
+    sim2.run(cash_store=True)
+    sim2.reset()
+    sim2.run(cash_store=True)
+    assert len(sim2.store.store) == n_rows  # fresh history, not appended
+
+
+def test_step_n_buffered_single_compile_across_ragged_lengths():
+    """The buffered dispatcher compiles ONCE per (capacity, shapes): a
+    ragged final chunk (n < capacity) must not trigger a second full-scan
+    XLA compile (code-review r5 efficiency finding)."""
+    import jax
+
+    sim = _sim(stop_time=1800.0, n=8)
+    sim.initialize()
+    m = sim.model
+    f = type(m).step_n_buffered
+    before = f._cache_size()
+    s1, b1 = m.step_n_buffered(sim.state, 4, 4)
+    s2, b2 = m.step_n_buffered(s1, 2, 4)          # ragged: same executable
+    assert f._cache_size() == before + 1
+    # ragged call fills exactly n rows; the rest stay zero
+    assert np.all(np.asarray(b2[:2, ..., 0]) > 0)
+    assert np.all(np.asarray(b2[2:]) == 0.0)
+    # and matches the scan-based step_n history
+    sim2 = _sim(stop_time=1800.0, n=8)
+    sim2.initialize()
+    _, ref = sim2.model.step_n(sim2.state, 6)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(b1), np.asarray(b2[:2])]),
+        np.asarray(ref))

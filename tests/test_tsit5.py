@@ -209,3 +209,32 @@ def test_fixed_substep_deterministic_across_batch_shapes():
              for i in (0, 4, 8)]
     np.testing.assert_array_equal(
         np.asarray(full.z), np.concatenate([np.asarray(p.z) for p in parts]))
+
+
+def test_force_dtmin_advances_f32_clock_at_large_model_time():
+    """A forced-dtmin substep must advance the clock even when dtmin falls
+    below ulp(t): at t ~ 5e5 s (any multi-day f32 run) ulp(t) ~ 0.06 s >>
+    dtmin=1e-4, so an un-guarded `t + dtmin` rounds back to t and the lane
+    mutates z at a frozen clock until maxiters, then reads as failed.  The
+    spacing-aware floor (max(dtmin, 4 ulp(t))) keeps forced steps moving."""
+    t0v = 524288.0                       # 2^19 s: ulp(t) = 0.0625 in f32
+
+    def wiggle_rhs(t, z, aux):
+        return jnp.cos(t - t0v) * jnp.ones_like(z)
+
+    # impossible tolerances force every error-controlled step to reject,
+    # leaving only forced-dtmin accepts — the pathological regime
+    cfg = SolverConfig(abstol=1e-13, reltol=1e-13, dtmin=1e-4,
+                       force_dtmin=True, method="bosh3")
+    DT = 60.0
+    z0 = jnp.zeros((2, 2), jnp.float32)
+    res = integrate_to(wiggle_rhs, z0, jnp.full(2, t0v, jnp.float32),
+                       jnp.full(2, t0v + DT, jnp.float32),
+                       jnp.full(2, 1e-3, jnp.float32), None,
+                       jnp.array([True, True]), cfg)
+    assert not np.any(np.asarray(res.failed))          # no maxiters spin
+    np.testing.assert_allclose(np.asarray(res.t), t0v + DT, rtol=1e-6)
+    # forced steps at the ~4*ulp floor: ~DT / 0.25 accepted steps, far
+    # below maxiters (an un-guarded floor would burn all 10k iterations)
+    assert 100 < int(res.naccept[0]) < 2000
+    assert np.all(np.isfinite(np.asarray(res.z)))
