@@ -35,9 +35,13 @@ sett = pt.ODESettings(log_energy_minimum=float(ws.lne), saving_step=DT,
                       dtmin=1e-2, force_dtmin=True)
 flags = TermFlags(input=False, dissipation=False, peak_shift=False,
                   direction=False)
+# the model flag is False on a MIXED-periodicity grid (periodic lon,
+# open lat): the lat-edge ring (mask==3) must be boundary nodes, not
+# active interior — same usage as the reference's sphere-aqua test
+# (T03_PIC_sphere_aqua.jl:55,171: grid (true, false), model false)
 model = pt.WaveGrowth2D(grid, pt.constant_winds(0.0, 0.0), sett, flags=flags,
                         minimal_state=np.array([1e-12, 1e-20]),
-                        config=pt.WaveGrowth2DConfig(periodic_boundary=True,
+                        config=pt.WaveGrowth2DConfig(periodic_boundary=False,
                                                      halo=4))
 ms = model.init_state()
 

@@ -240,10 +240,15 @@ def MinimalWindsea_1d(U10, time_scale, type: str = "JONSWAP"):
 
 
 def PMParameters(U10):
-    """Pierson-Moskowitz parameters (reference FetchRelations.jl:612-617)."""
+    """Pierson-Moskowitz parameters (reference FetchRelations.jl:612-617).
+
+    Documented reference bug fix: the reference computes ``E = (Hs/4)^4``
+    in this function it marks "never tested!!"; the PM variance is
+    ``E = (Hs/4)^2 = Hs^2/16`` (and that is what the reference's own PM
+    branch of get_initial_windsea uses via Hs = 4 sqrt(E))."""
     f_peak = 0.816 * G_GRAVITY / (2.0 * math.pi * U10)
     Hs = 0.0246 * U10 ** 2
-    E = (Hs / 4.0) ** 4
+    E = (Hs / 4.0) ** 2
     return dict(f_peak=f_peak, Hs=Hs, E=E)
 
 

@@ -356,7 +356,8 @@ def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
     The analog of the reference's NCDatasets-based wind forcing
     (tests/T03_PIC_tripolar_realistic.jl:54, T04_2D_reg_test_netCDF.jl,
     B02_2D_regtest_netCDF.jl).  Reads NetCDF-4 via h5py with a scipy
-    NetCDF-3 fallback (same strategy as grids.tripolar.load_mom6_grid).
+    NetCDF-3 fallback (utils.io.read_netcdf_vars, shared with
+    grids.tripolar.load_mom6_grid).
     Uniform axes use linear-index interpolation; a non-uniform axis
     (e.g. gaussian-grid latitudes, or MOM6-native forcing) is kept as a
     node table and interpolated through the coordinate->index map (see
@@ -373,19 +374,9 @@ def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
     """
     import numpy as np
 
-    names = [u_name, v_name, x_name, y_name, t_name]
+    from ..utils.io import read_netcdf_vars
 
-    def _read(p):
-        try:
-            import h5py
-            with h5py.File(p, "r") as f:
-                return {n: np.asarray(f[n]) for n in names}
-        except (OSError, KeyError):
-            from scipy.io import netcdf_file
-            with netcdf_file(p, "r", mmap=False) as f:
-                return {n: np.asarray(f.variables[n].data) for n in names}
-
-    v = _read(path)
+    v = read_netcdf_vars(path, [u_name, v_name, x_name, y_name, t_name])
     xs, ys, ts = (np.asarray(v[x_name], np.float64),
                   np.asarray(v[y_name], np.float64),
                   np.asarray(v[t_name], np.float64))
@@ -425,6 +416,17 @@ def load_gridded_winds_2d(path: str, *, u_name: str = "u10",
     if relative_time:
         ts = ts - ts[0]
     t0, dt, t_nodes = _axis(ts * time_scale, t_name)
+    if abs(t0) > 1e7:
+        # the sampling path (and any non-uniform node table) is float32:
+        # epoch-scale axes quantize to ~|t0| * 1.2e-7 s ulps (minutes at
+        # seconds-since-1970), and the model clock starts at 0 anyway
+        import warnings
+
+        warnings.warn(
+            f"wind time axis starts at {t0:.3g} s; float32 sampling "
+            f"quantizes epoch-scale times to ~{abs(t0) * 1.2e-7:.0f} s — "
+            f"pass relative_time=True (seconds since the first frame)",
+            stacklevel=2)
 
     return GriddedWinds2D(u_data=jnp.asarray(u_txy),
                           v_data=jnp.asarray(v_txy),

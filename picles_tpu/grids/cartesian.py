@@ -18,13 +18,28 @@ from .mask import make_boundaries
 
 
 def projection_kernel_cartesian(dx: float, dy: float, angle_deg: float) -> np.ndarray:
-    """Reference CartesianGrid.jl:115-131: with grid rotation ``angle``,
-    M = [[cos/dx, sin/dy], [sin/dx, cos/dy]]."""
+    """Projection m/s -> grid-index/s for a grid whose i-axis is rotated
+    ``angle`` degrees from physical x (reference CartesianGrid.jl:115-131).
+
+    The grid axes are e_i = (cos a, sin a), e_j = (-sin a, cos a), so the
+    index rates of a physical velocity v are di/dt = (v . e_i)/dx and
+    dj/dt = (v . e_j)/dy:  M = [[c/dx, s/dx], [-s/dy, c/dy]].
+
+    DOCUMENTED REFERENCE BUG FIX (same policy as the spherical
+    ``cos(dy_m deg)`` fix, grids/spherical.py): the reference's rotated
+    branch builds the symmetric matrix ``[cosa/dx sina/dy; sina/dx
+    cosa/dy]`` (CartesianGrid.jl:125-128) — both off-diagonals +sin and
+    row-crossed spacings.  That matrix is not a rotation composed with a
+    scaling (det = cos(2a)/(dx dy), SINGULAR at 45 deg: every velocity
+    collapses onto the grid diagonal), so physically x-directed swell on
+    a rotated grid would advect with the wrong sign along j.  The
+    ``angle == 0`` branch — the only configuration the reference's tests
+    exercise — is identical in both forms."""
     if angle_deg == 0.0:
         return np.array([[1.0 / dx, 0.0], [0.0, 1.0 / dy]])
     c = math.cos(angle_deg * math.pi / 180.0)
     s = math.sin(angle_deg * math.pi / 180.0)
-    return np.array([[c / dx, s / dy], [s / dx, c / dy]])
+    return np.array([[c / dx, s / dx], [-s / dy, c / dy]])
 
 
 def cartesian_grid_2d(xmin: float, xmax: float, nx: int,

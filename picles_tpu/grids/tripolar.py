@@ -169,15 +169,7 @@ def load_mom6_grid(grid_file: str, k: int = 2, *, mask_file: Optional[str] = Non
 
     Reads NetCDF-4 via h5py, falling back to scipy's NetCDF-3 reader.
     """
-    def _read(path, names):
-        try:
-            import h5py
-            with h5py.File(path, "r") as f:
-                return {n: np.asarray(f[n]) for n in names}
-        except (OSError, KeyError):
-            from scipy.io import netcdf_file
-            with netcdf_file(path, "r", mmap=False) as f:
-                return {n: np.asarray(f.variables[n].data) for n in names}
+    from ..utils.io import read_netcdf_vars as _read
 
     v = _read(grid_file, ["x", "y", "dx", "dy", "area", "angle_dx"])
     # NetCDF stores [ny, nx]; the reference indexes [x, y] — transpose.

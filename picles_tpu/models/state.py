@@ -30,7 +30,8 @@ class StepMetrics(NamedTuple):
     n_relight: jnp.ndarray       # off->on wind re-lights in advance (:172-185)
     n_gather: jnp.ndarray        # remesh branch (a): node state adopted
     n_reseed: jnp.ndarray        # remesh branch (b/c): windsea reseeds
-    n_off: jnp.ndarray           # particles switched off in remesh
+    n_off: jnp.ndarray           # on->off TRANSITIONS in remesh (not the
+                                 # standing off population)
     n_clamped: jnp.ndarray       # scatter displacements clamped to the halo
     substeps_max: jnp.ndarray    # max accepted ODE substeps over the batch
 

@@ -14,8 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
-from typing import Callable, Optional, Tuple, Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +27,7 @@ from ..grids.base import Grid1D, GridStats, Boundary
 from ..ops import pic
 from ..ops import transforms as TR
 from ..ops.rhs import TermFlags, particle_equations_1d
+from .drivers import StepDrivers
 from ..ops.tsit5 import SolverConfig, auto_dt, integrate_to
 from .state import ModelState1D, Particles1D, StepMetrics
 
@@ -65,7 +65,7 @@ class WaveGrowth1DConfig:
     dtype: type = jnp.float32
 
 
-class WaveGrowth1D:
+class WaveGrowth1D(StepDrivers):
     """1D model: build RHS from winds ``u(x, t)``; expose ``step``."""
 
     def __init__(self, grid: Grid1D, winds: Winds1D,
@@ -118,8 +118,16 @@ class WaveGrowth1D:
                 ParticleDefaults1D(-11.0, 1e-3)
         elif isinstance(config.ode_init_type, ParticleDefaults1D):
             self.defaults = config.ode_init_type
-        else:
+        elif config.ode_init_type == "wind_sea":
             self.defaults = None
+        else:
+            # same validation as the 2D model: an unrecognized string
+            # (e.g. the correctly-spelled "minimal") must not silently
+            # fall through to windsea seeding
+            raise ValueError(
+                f"ode_init_type {config.ode_init_type!r}: expected "
+                f"'wind_sea', 'mininmal' (sic, the reference spelling, "
+                f"WaveGrowthModels2D.jl:223-231) or ParticleDefaults1D")
 
         # boundary_type parity (reference WaveGrowthModels1D.jl:146-158):
         # the knob is validated and its defaults constructed, but the 1D
@@ -162,6 +170,11 @@ class WaveGrowth1D:
             strong = jnp.abs(u0) > SQRT2
             ws = FR.get_initial_windsea_1d(u0, self.settings.timestep)
             z_sea = jnp.stack([ws.lne, ws.cg_bar_x, x], axis=-1)
+            # deliberately the 2-ARG MinimalParticle(u, 0, DT): the
+            # reference's 1D seed calls exactly this (core_1D.jl:217),
+            # whose V10=0 is rewritten to a unit sign inside
+            # MinimalWindsea (FetchRelations.jl:378-382) — NOT the 1-arg
+            # MinimalWindsea_1d variant.  Parity over plausibility.
             mp = FR.MinimalParticle(u0, jnp.zeros_like(u0),
                                     self.settings.timestep)
             z_min = jnp.stack([mp[..., 0], mp[..., 1], x], axis=-1)
@@ -248,6 +261,7 @@ class WaveGrowth1D:
         z_gather = jnp.stack([lne_g, cgx_g, x_node], axis=-1)
         z = jnp.where(gather[..., None], z_gather, z)
         z = jnp.where(reseed[..., None], self._reset_values(u_i, x_node), z)
+        on_before_remesh = on
         on = jnp.where(~boundary, gather | reseed, on)
 
         was_reset = relight | bad | gather | reseed
@@ -265,7 +279,9 @@ class WaveGrowth1D:
             n_active=_c(adv), n_failed=_c(failed), n_nan_reset=_c(nan_mask),
             n_inf_reset=_c(inf_mask), n_emax_clamp=_c(emax_mask),
             n_relight=_c(relight), n_gather=_c(gather), n_reseed=_c(reseed),
-            n_off=_c(go_off), n_clamped=jnp.zeros((), jnp.int32),
+            # transitions only (was on, switched off), mirroring the 2D model
+            n_off=_c(go_off & on_before_remesh),
+            n_clamped=jnp.zeros((), jnp.int32),
             substeps_max=jnp.max(res.naccept).astype(jnp.int32))
 
         return ModelState1D(state=S, particles=Particles1D(z=z, t=t, dt=dt,
@@ -273,28 +289,4 @@ class WaveGrowth1D:
                             time=ms.time + DT, iteration=ms.iteration + 1,
                             metrics=metrics)
 
-    @partial(jax.jit, static_argnums=(0, 2))
-    def step_n(self, ms: ModelState1D, n: int):
-        def body(carry, _):
-            nxt = self.step(carry)
-            return nxt, nxt.state
-
-        return jax.lax.scan(body, ms, None, length=n)
-
-    @partial(jax.jit, static_argnums=(0, 3))
-    def step_n_buffered(self, ms: ModelState1D, n, capacity: int):
-        """Traced-trip-count step_n (see WaveGrowth2D.step_n_buffered)."""
-        buf = jnp.zeros((capacity,) + ms.state.shape, ms.state.dtype)
-
-        def body(i, c):
-            s, b = c
-            s2 = self.step(s)
-            return s2, jax.lax.dynamic_update_index_in_dim(b, s2.state, i, 0)
-
-        return jax.lax.fori_loop(0, n, body, (ms, buf))
-
-    @partial(jax.jit, static_argnums=(0,))
-    def step_n_quiet(self, ms: ModelState1D, n) -> ModelState1D:
-        """n steps with no per-step output (O(state) memory; the storeless
-        Simulation.run path).  ``n`` is a traced scalar."""
-        return jax.lax.fori_loop(0, n, lambda _, s: self.step(s), ms)
+    # step_n / step_n_buffered / step_n_quiet / step_jit: StepDrivers

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
 from typing import Callable, Optional, Tuple, Union
 
 import jax
@@ -39,6 +38,7 @@ from ..ops import pic
 from ..ops import transforms as TR
 from ..ops.rhs import RHSParams, TermFlags, particle_equations
 from ..ops.tsit5 import SolverConfig, auto_dt, integrate_to
+from .drivers import StepDrivers
 from .state import ModelState2D, Particles2D, StepMetrics
 
 SQRT2 = math.sqrt(2.0)
@@ -122,7 +122,7 @@ def _resolve_auto_modes(cfg: "WaveGrowth2DConfig") -> "WaveGrowth2DConfig":
     return _dc.replace(cfg, **upd) if upd else cfg
 
 
-class WaveGrowth2D:
+class WaveGrowth2D(StepDrivers):
     """Model factory: builds the RHS, seeds, and exposes ``step``.
 
     Parameters mirror the reference constructor: ``grid``, ``winds``
@@ -197,7 +197,24 @@ class WaveGrowth2D:
         from ..ops.tsit5 import METHODS
         self._rk_order = METHODS[ode_settings.solver].order
 
-        # static node masks
+        # static node masks.  config.periodic_boundary=True means "treat
+        # grid-edge (mask==3) nodes as wrapped interior" — only coherent
+        # when BOTH grid axes are periodic (the deposit wraps per
+        # grid.stats regardless); warn on the mismatch the reference's own
+        # usage avoids (T03_PIC_sphere_aqua.jl: mixed grid -> model false)
+        from ..grids.base import Boundary as _Bd
+
+        if config.periodic_boundary and (grid.stats.bx == _Bd.NONPERIODIC
+                                         or grid.stats.by == _Bd.NONPERIODIC):
+            import warnings
+
+            warnings.warn(
+                "config.periodic_boundary=True on a grid with a "
+                "non-periodic axis: the open-edge ring (mask==3) will be "
+                "treated as active interior instead of boundary nodes; "
+                "pass periodic_boundary=False for mixed-periodicity "
+                "domains (reference T03_PIC_sphere_aqua.jl usage)",
+                stacklevel=2)
         self.active_mask = grid.ocean_point_mask(config.periodic_boundary)
         self.boundary_mask = grid.boundary_point_mask(config.periodic_boundary)
         self.aux = RHSParams(x=grid.x, y=grid.y, M=grid.proj, pc=grid.pc)
@@ -535,6 +552,7 @@ class WaveGrowth2D:
         cgy = jnp.where(gather, cgy_g, jnp.where(reseed, cgy_s, cgy))
         px = jnp.where(gather | reseed, 0.0, px)
         py = jnp.where(gather | reseed, 0.0, py)
+        on_before_remesh = on
         on = jnp.where(part, (gather | reseed), on)
 
         # dt reset (auto_dt_reset!) for every lane whose u was replaced
@@ -578,7 +596,10 @@ class WaveGrowth2D:
         metrics = self._build_metrics(
             psum_axes, adv=adv, failed=failed, nan_mask=nan_mask,
             inf_mask=inf_mask, emax_mask=emax_mask, relight=relight,
-            gather=gather, reseed=reseed, off=go_off,
+            # n_off counts TRANSITIONS (was on, switched off this remesh),
+            # not the standing population of off nodes — a calm half-domain
+            # would otherwise report ~nx*ny/2 "switched off" every step
+            gather=gather, reseed=reseed, off=go_off & on_before_remesh,
             clamped=sc_stats.clamped, naccept=res_naccept)
 
         particles = Particles2D(lne=lne, cgx=cgx, cgy=cgy, px=px, py=py,
@@ -658,7 +679,7 @@ class WaveGrowth2D:
             psum_axes, adv=adv, failed=failed, nan_mask=nan_mask,
             inf_mask=inf_mask, emax_mask=emax_mask, relight=relight,
             gather=(br & GATHER_BIT) != 0, reseed=(br & RESEED_BIT) != 0,
-            off=(br & OFF_BIT) != 0, clamped=sc_stats.clamped,
+            off=((br & OFF_BIT) != 0) & on, clamped=sc_stats.clamped,
             naccept=res_naccept)
 
         particles = Particles2D(lne=rm.lne, cgx=rm.cgx, cgy=rm.cgy,
@@ -705,7 +726,7 @@ class WaveGrowth2D:
             psum_axes, adv=adv, failed=failed, nan_mask=nan_mask,
             inf_mask=inf_mask, emax_mask=emax_mask, relight=relight,
             gather=(br & GATHER_BIT) != 0, reseed=(br & RESEED_BIT) != 0,
-            off=(br & OFF_BIT) != 0, clamped=sc_stats.clamped,
+            off=((br & OFF_BIT) != 0) & on, clamped=sc_stats.clamped,
             naccept=res_naccept)
 
         particles = Particles2D(lne=rm.lne, cgx=rm.cgx, cgy=rm.cgy,
@@ -790,50 +811,14 @@ class WaveGrowth2D:
         unchanged and store ``[time, layer, x, y, state]``."""
         return LayeredWaveGrowth2D(self, per_layer_defaults, per_layer_winds)
 
-    @partial(jax.jit, static_argnums=(0, 2))
-    def step_n(self, ms: ModelState2D, n: int) -> Tuple[ModelState2D, jnp.ndarray]:
-        """``lax.scan`` n steps, returning the stacked Eulerian states
-        (the CashStore analog, shape [n, nx, ny, 3])."""
-
-        def body(carry, _):
-            nxt = self.step(carry)
-            return nxt, nxt.state
-
-        return jax.lax.scan(body, ms, None, length=n)
-
-    @partial(jax.jit, static_argnums=(0, 3))
-    def step_n_buffered(self, ms: ModelState2D, n, capacity: int):
-        """``step_n`` with a TRACED trip count into a static-``capacity``
-        buffer: the chunked store path's final ragged chunk (e.g. 33 of
-        64) reuses the same compiled executable as the full chunks
-        instead of paying a second full-scan compile (rows past ``n``
-        stay zero; the driver slices ``[:n]``)."""
-        buf = jnp.zeros((capacity,) + ms.state.shape, ms.state.dtype)
-
-        def body(i, c):
-            s, b = c
-            s2 = self.step(s)
-            return s2, jax.lax.dynamic_update_index_in_dim(b, s2.state, i, 0)
-
-        return jax.lax.fori_loop(0, n, body, (ms, buf))
-
-    @partial(jax.jit, static_argnums=(0,))
-    def step_n_quiet(self, ms: ModelState2D, n) -> ModelState2D:
-        """n steps with NO per-step output: peak memory stays O(state)
-        instead of step_n's O(n * state) — a 6-day 1536^2 run would stack
-        ~24 GB of unread history through step_n.  ``n`` is a traced scalar
-        so chunked drivers reuse one compilation for any chunk length."""
-        return jax.lax.fori_loop(0, n, lambda _, s: self.step(s), ms)
-
-    def step_jit(self) -> Callable:
-        return jax.jit(self.step)
+    # step_n / step_n_buffered / step_n_quiet / step_jit: StepDrivers
 
     def fields(self, ms: ModelState2D):
         """Reference ``fields(model)`` (WaveGrowthModels2D.jl:355)."""
         return dict(State=ms.state)
 
 
-class LayeredWaveGrowth2D:
+class LayeredWaveGrowth2D(StepDrivers):
     """Layered driver adapter: the Simulation/StateStore-facing surface of
     a WaveGrowth2D with ``config.layers > 1`` (reference 4D State,
     WaveGrowthModels2D.jl:112-119; exercised by tests/T06_layers.jl).
@@ -895,29 +880,7 @@ class LayeredWaveGrowth2D:
                  for i, m in enumerate(self.layer_models)])
         return self.model.step_layers(ms)
 
-    @partial(jax.jit, static_argnums=(0, 2))
-    def step_n(self, ms: ModelState2D, n: int):
-        def body(carry, _):
-            nxt = self.step(carry)
-            return nxt, nxt.state
-
-        return jax.lax.scan(body, ms, None, length=n)
-
-    @partial(jax.jit, static_argnums=(0, 3))
-    def step_n_buffered(self, ms: ModelState2D, n, capacity: int):
-        """Traced-trip-count step_n (see WaveGrowth2D.step_n_buffered)."""
-        buf = jnp.zeros((capacity,) + ms.state.shape, ms.state.dtype)
-
-        def body(i, c):
-            s, b = c
-            s2 = self.step(s)
-            return s2, jax.lax.dynamic_update_index_in_dim(b, s2.state, i, 0)
-
-        return jax.lax.fori_loop(0, n, body, (ms, buf))
-
-    @partial(jax.jit, static_argnums=(0,))
-    def step_n_quiet(self, ms: ModelState2D, n) -> ModelState2D:
-        return jax.lax.fori_loop(0, n, lambda _, s: self.step(s), ms)
+    # step_n / step_n_buffered / step_n_quiet / step_jit: StepDrivers
 
     def fields(self, ms: ModelState2D):
         return dict(State=ms.state)

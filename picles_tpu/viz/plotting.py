@@ -88,6 +88,15 @@ def plot_state_2d(grid, state, var: int = 0, *, ax=None, coast=True,
     return ax
 
 
+def _finite_max(a, default):
+    """nanmax with a floor: all-NaN / empty / zero data falls back to
+    ``default`` instead of propagating NaN into pcolormesh color limits
+    (``nanmax(...) or 1.0`` does NOT guard NaN — NaN is truthy)."""
+    with np.errstate(invalid="ignore"):
+        v = float(np.nanmax(a)) if np.size(a) else float("nan")
+    return v if np.isfinite(v) and v > 0 else default
+
+
 def _wind_pair(winds):
     """Normalize a winds argument to a (u(x,y,t), v(x,y,t)) pair —
     accepts Winds2D / GriddedWinds2D / a plain (u, v) tuple."""
@@ -147,7 +156,7 @@ def movie_2d(grid, states, path: str, *, winds=None, times=None, fps: int = 8,
     if wp is None:
         data = (significant_wave_height(states[..., 0]) if as_hs
                 else states[..., var])
-        vmax = float(np.nanmax(data)) or 1.0
+        vmax = _finite_max(data, 1.0)
         fig, ax = plt.subplots(figsize=(6.5, 5.5))
         im = ax.pcolormesh(x, y, np.ma.masked_where(land, data[0]),
                            shading="auto", cmap="viridis", vmin=0, vmax=vmax)
@@ -178,11 +187,11 @@ def movie_2d(grid, states, path: str, *, winds=None, times=None, fps: int = 8,
     u0, v0 = wind_fields(0)
     # shared color range from a subsample of frames
     sp_max = max(float(np.hypot(*wind_fields(i)).max())
-                 for i in range(0, nt, max(1, nt // 8))) or 1.0
-    hs_max = float(np.nanmax(hs)) or 1.0
-    m_lim = float(np.nanmax(np.abs(states[..., 1:3]))) or 0.1
+                 for i in range(0, nt, max(1, nt // 8))) or 1.0  # winds: caller-supplied callables, assumed finite
+    hs_max = _finite_max(hs, 1.0)
+    m_lim = _finite_max(np.abs(states[..., 1:3]), 0.1)
     cx0, cy0 = _group_velocity(states)
-    c_lim = float(np.nanmax(np.hypot(cx0, cy0))) or 1.0
+    c_lim = _finite_max(np.hypot(cx0, cy0), 1.0)
 
     sk = max(1, arrow_skip)
     qsl = (slice(None, None, sk), slice(None, None, sk))

@@ -41,14 +41,19 @@ class TestCartesianConstruction:
                            [[1 / 2000.0, 0.0], [0.0, 1 / 500.0]])
 
     def test_projection_kernel_rotated(self):
-        # rotated grid: M = [[c/dx, s/dy], [s/dx, c/dy]]
+        # rotated grid: TRUE rotation M = [[c/dx, s/dx], [-s/dy, c/dy]]
+        # (the reference's symmetric-sin matrix is a documented bug fix —
+        # see projection_kernel_cartesian)
         M = projection_kernel_cartesian(1000.0, 1000.0, 30.0)
         c, s = np.cos(np.pi / 6), np.sin(np.pi / 6)
         assert np.allclose(M, [[c / 1000.0, s / 1000.0],
-                               [s / 1000.0, c / 1000.0]])
-        # a velocity along the rotated x-axis moves mostly in grid-i
+                               [-s / 1000.0, c / 1000.0]])
+        # a velocity ALONG the rotated i-axis moves purely in grid-i
         v = M @ np.array([c, s])
-        assert v[0] > abs(v[1])
+        assert v[0] > 0 and abs(v[1]) < 1e-12
+        # invertible at every angle (the reference form is singular at 45)
+        assert abs(np.linalg.det(projection_kernel_cartesian(
+            1000.0, 1000.0, 45.0))) > 1e-10
 
     def test_cartesian_pc_is_zero(self):
         g = cartesian_box(10e3, 11, 10e3, 11)

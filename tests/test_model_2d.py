@@ -363,9 +363,11 @@ def test_auto_kernel_modes_resolve_per_backend(monkeypatch):
 def test_rotated_cartesian_grid_diagonal_propagation():
     """Rotated box (reference T04 rotation/diagonal b.c. variants,
     CartesianGrid.jl:115-131): with grid rotation angle a, physically
-    x-directed swell advances along BOTH index axes in the ratio
-    tan(a) — the rotation projection M = [[c/dx, s/dy], [s/dx, c/dy]]
-    applied inside the RHS."""
+    x-directed swell advances +i (with the grid) and -j (against the
+    rotated j-axis) in the ratio -tan(a)*dx/dy — the TRUE rotation
+    projection M = [[c/dx, s/dx], [-s/dy, c/dy]] applied inside the RHS
+    (the reference's symmetric-sin matrix is a documented bug fix, see
+    projection_kernel_cartesian)."""
     import dataclasses
     import math
 
@@ -374,11 +376,15 @@ def test_rotated_cartesian_grid_diagonal_propagation():
     from picles_tpu.models.state import Particles2D
     from picles_tpu.ops.rhs import TermFlags
 
-    # kernel-level: the reference formula
+    # kernel-level: rows are grid axes dotted with physical velocity
     M = projection_kernel_cartesian(2000.0, 1000.0, 30.0)
     c, s = math.cos(math.radians(30.0)), math.sin(math.radians(30.0))
-    np.testing.assert_allclose(M, [[c / 2000.0, s / 1000.0],
-                                   [s / 2000.0, c / 1000.0]])
+    np.testing.assert_allclose(M, [[c / 2000.0, s / 2000.0],
+                                   [-s / 1000.0, c / 1000.0]])
+    # a proper rotation/scaling: invertible at every angle (the reference
+    # matrix is singular at 45 deg)
+    M45 = projection_kernel_cartesian(1000.0, 1000.0, 45.0)
+    assert abs(np.linalg.det(M45)) > 1e-10
 
     # model-level: propagation-only blob on a 45-deg grid
     DT = 600.0
@@ -412,7 +418,8 @@ def test_rotated_cartesian_grid_diagonal_propagation():
                     float((jj * e).sum() / e.sum())))
     di = com[-1][0] - com[0][0]
     dj = com[-1][1] - com[0][1]
-    assert di > 0.3 and dj > 0.3          # moved along BOTH index axes
-    np.testing.assert_allclose(dj / di, math.tan(math.radians(45.0)),
-                               rtol=0.05)  # tan(angle) = 1
+    # x-swell on a +45 deg grid: +i (toward the rotated i-axis) and -j
+    assert di > 0.3 and dj < -0.3
+    np.testing.assert_allclose(dj / di, -math.tan(math.radians(45.0)),
+                               rtol=0.05)  # -tan(angle) * dx/dy = -1
     assert int(ms.metrics.n_failed) == 0

@@ -83,7 +83,7 @@ def test_sphere_aqua_blob_advection():
     flags = TermFlags(input=False, dissipation=False, peak_shift=False,
                       direction=False)
     model = WaveGrowth2D(grid, constant_winds(0.0, 0.0), sett, flags=flags,
-                         config=WaveGrowth2DConfig(periodic_boundary=True,
+                         config=WaveGrowth2DConfig(periodic_boundary=False,
                                                    halo=4))
     ms = model.init_state()
 
